@@ -1,0 +1,88 @@
+"""pano.txt parser and dataset loading tests (reference parity)."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from vfx_image_stitching_tpu.io import (
+    read_pano_data,
+    resolve_image_path,
+    load_dataset,
+    stack_dataset,
+)
+from tests.conftest import requires_reference, requires_cv2
+
+
+def test_parser_basic(tmp_path):
+    p = tmp_path / "pano.txt"
+    p.write_text(
+        textwrap.dedent(
+            """\
+            C:\\Users\\x\\img01.jpg
+            428 571
+
+            1 0 285
+            0 1 213.5
+            0 0 1
+
+            454.417
+
+            C:\\Users\\x\\img00.jpg
+            428 571
+            455.478
+            """
+        )
+    )
+    imgs, focals = read_pano_data(str(p))
+    assert imgs == ["C:\\Users\\x\\img01.jpg", "C:\\Users\\x\\img00.jpg"]
+    assert focals == [454.417, 455.478]
+
+
+def test_parser_drops_image_without_focal(tmp_path):
+    """wind/pano.txt quirk: image line w/o focal before next image dropped."""
+    p = tmp_path / "pano.txt"
+    p.write_text("a.jpg\n1 0 285\nb.jpg\n683.126\n")
+    imgs, focals = read_pano_data(str(p))
+    assert imgs == ["b.jpg"]
+    assert focals == [683.126]
+
+
+def test_parser_matrix_lines_skipped(tmp_path):
+    p = tmp_path / "pano.txt"
+    p.write_text("a.png\n0.9999 1e-9 0.01\nnotafloat\n707.0\n")
+    imgs, focals = read_pano_data(str(p))
+    assert imgs == ["a.png"]
+    assert focals == [707.0]
+
+
+@requires_reference
+def test_parser_on_reference_datasets(reference_dir):
+    expect = {"out": 2, "wind": 1, "parrington": 18, "grail": 18}
+    for name, n in expect.items():
+        imgs, focals = read_pano_data(os.path.join(reference_dir, name, "pano.txt"))
+        assert len(imgs) == n, name
+        assert len(focals) == n, name
+    # wind keeps only wind01 (wind02 has no focal)
+    imgs, focals = read_pano_data(os.path.join(reference_dir, "wind", "pano.txt"))
+    assert imgs[0].lower().endswith("wind01.jpg")
+    assert focals[0] == pytest.approx(683.126)
+
+
+def test_resolve_windows_path_fallback(tmp_path):
+    target = tmp_path / "out00.jpg"
+    target.write_bytes(b"x")
+    got = resolve_image_path("C:\\Users\\853uj\\out\\out00.jpg", str(tmp_path))
+    assert got == os.path.join(str(tmp_path), "out00.jpg")
+
+
+@requires_reference
+@requires_cv2
+def test_load_dataset_out(reference_dir):
+    images, focals, paths = load_dataset(os.path.join(reference_dir, "out"))
+    assert len(images) == 2 and all(im is not None for im in images)
+    batch, valid = stack_dataset(images)
+    assert batch.shape == (2, 571, 428, 3)  # out imgs are 571 high x 428 wide
+    assert batch.dtype == np.uint8
+    assert valid.all()

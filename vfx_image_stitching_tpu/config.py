@@ -1,0 +1,136 @@
+"""Configuration dataclasses mirroring every reference algorithm constant.
+
+The reference keeps all constants as function default kwargs (Harris:
+``image_stitching_harris.py:135``; SIFT: ``sift_impl.py:15``; thresholds at
+``image_stitching_harris.py:490-494`` and ``image_stitching_sift.py:325``).
+Here they live in frozen dataclasses so every stage is explicitly
+parameterized and hashable (usable as jit static args).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class HarrisConfig:
+    """Harris corner backend constants (image_stitching_harris.py:135)."""
+
+    max_points: int = 200
+    k: float = 0.05
+    block_size: int = 21          # GaussianBlur ksize for structure tensor
+    gauss_sigma: float = 2.0
+    thresh_ratio: float = 0.02
+    border_margin: int = 8        # keypoints closer than this to the border
+    #                               are dropped (image_stitching_harris.py:204)
+    patch_size: int = 16          # descriptor patch (image_stitching_harris.py:86)
+    desc_blur_ksize: int = 9      # GaussianBlur((9,9), 4.5) on patch magnitudes
+    desc_blur_sigma: float = 4.5  # (image_stitching_harris.py:91)
+    desc_bins: int = 8
+    desc_cells: int = 4
+    desc_clip: float = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftCapacities:
+    """Fixed capacities for the masked, fixed-shape SIFT pipeline.
+
+    The reference uses dynamically sized Python lists; on TPU every stage is
+    fixed shape with validity masks.  Values were audited against the four
+    reference datasets (out/wind/parrington/grail) with >=2x headroom; the
+    audit utility lives in :mod:`vfx_image_stitching_tpu.utils.capacity`.
+    """
+
+    # Per-octave cap on raw 26-neighbor extrema candidates.  Octave 0 of a
+    # 768x1024 base image yields the most; higher octaves shrink 4x each.
+    max_candidates: int = 4096
+    # Orientation peaks emitted per localized candidate
+    # (sift_impl.py:280-292 can emit several; audit shows <= 3 in practice).
+    max_orientations: int = 4
+    # Final per-image keypoint capacity after dedup/compaction (matching
+    # operates on (max_keypoints, 128) descriptor blocks).
+    max_keypoints: int = 8192
+    # Orientation histogram window half-radius cap (sift_impl.py:254 radius
+    # is data dependent; audit shows <= 21 on the reference datasets).
+    max_radius: int = 24
+    # Descriptor sampling window half-width cap (sift_impl.py:386-387
+    # half_width is data dependent; audit shows <= 48).
+    max_half_width: int = 56
+
+    def scaled_candidates(self, octave: int) -> int:
+        """Candidate capacity for a given octave (shrinks with area)."""
+        c = self.max_candidates >> max(0, octave - 1)
+        return max(256, c)
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    """From-scratch SIFT constants (sift_impl.py:15, :117, :169, :246, :361)."""
+
+    sigma: float = 1.6
+    num_intervals: int = 3
+    assumed_blur: float = 0.5
+    image_border_width: int = 5
+    contrast_threshold: float = 0.04
+    eigen_ratio: float = 10.0
+    max_localize_iters: int = 5
+    # orientation assignment (sift_impl.py:246)
+    radius_factor: float = 3.0
+    num_bins: int = 36
+    peak_ratio: float = 0.8
+    scale_factor: float = 1.5
+    # descriptors (sift_impl.py:361)
+    window_width: int = 4
+    desc_bins: int = 8
+    scale_multiplier: float = 3.0
+    descriptor_max_value: float = 0.2
+    float_tolerance: float = 1e-7
+    capacities: SiftCapacities = SiftCapacities()
+
+    @property
+    def images_per_octave(self) -> int:
+        return self.num_intervals + 3
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """NN matching + translation voting (image_stitching_harris.py:219,:242)."""
+
+    # Absolute squared-L2 threshold on the best match distance.  The
+    # reference uses 1.0 for unit-norm Harris descriptors
+    # (image_stitching_harris.py:494) and 25000 for 0-255 scaled SIFT
+    # descriptors (image_stitching_sift.py:325).  No Lowe ratio in the
+    # stitching path; a ratio-test option exists for the UI/matching API.
+    desc_thresh: float = 1.0
+    ransac_thresh: float = 3.0    # squared-distance vote threshold
+    lowe_ratio: Optional[float] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class StitchConfig:
+    """End-to-end pipeline configuration (drives run_panorama parity)."""
+
+    backend: str = "sift"                # "sift" | "harris"
+    harris: HarrisConfig = HarrisConfig()
+    sift: SiftConfig = SiftConfig()
+    crop_margin: int = 15                # rectangle_crop extra_margin default
+    black_threshold: int = 0             # rectangle_crop threshold
+    save_steps: bool = False             # dump per-step mosaics (regenerates
+    #                                      the pano_step_* goldens)
+    profile_dir: Optional[str] = None    # jax.profiler trace output
+
+    def match(self) -> MatchConfig:
+        if self.backend == "harris":
+            return MatchConfig(desc_thresh=1.0)
+        return MatchConfig(desc_thresh=25000.0)
+
+
+DEFAULT_CROP_MARGINS = {
+    # Margins used by the author to produce the Result/ goldens
+    # (README.md:52-54, report p.16).
+    "out": 30,
+    "parrington": 15,
+    "grail": 17,
+    "wind": 24,
+}

@@ -1,0 +1,85 @@
+"""Forward-rounded cylindrical projection.
+
+The reference projects with a per-pixel Python loop (hot loop #3,
+image_stitching_harris.py:290-309): for every source pixel,
+
+    x' = round(f * atan((x-cx)/f)) + cx
+    y' = round(f * (y-cy) / sqrt((x-cx)^2 + f^2)) + cy
+
+scattering source -> dest, dropping out-of-bounds, leaving unmapped pixels
+black, with *last-writer-wins in row-major source order* on collisions
+(near the left/right edges several source columns compress onto one output
+column).
+
+TPU-native design: the mapping depends only on (h, w, focal), so the
+*index map* (winning source pixel per output pixel, or -1) is precomputed
+once per focal on the host in float64 — bit-identical to the reference's
+Python-float math including banker's rounding — and the per-image work on
+device is a single flat gather, batched over the whole dataset.  A pure
+device-side variant would save ~ms of host work but risks f32 rounding
+flips at .5 boundaries; parity wins.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=256)
+def cylindrical_index_map(h: int, w: int, focal: float) -> np.ndarray:
+    """(h*w,) int32: winning flat source index per output pixel, -1 if none."""
+    f = float(focal)
+    yy, xx = np.mgrid[0:h, 0:w]
+    cx = w // 2
+    cy = h // 2
+    x_dist = (xx - cx).astype(np.float64)
+    y_dist = (yy - cy).astype(np.float64)
+    # np.round == Python round on float64 (banker's / half-to-even).
+    x_mapped = np.round(f * np.arctan(x_dist / f)).astype(np.int64) + cx
+    denom = np.sqrt(x_dist**2 + f * f)
+    y_mapped = np.round(f * (y_dist / denom)).astype(np.int64) + cy
+    valid = (x_mapped >= 0) & (x_mapped < w) & (y_mapped >= 0) & (y_mapped < h)
+
+    dest = (y_mapped * w + x_mapped).ravel()
+    src = np.arange(h * w, dtype=np.int64)
+    ok = valid.ravel()
+    winner = np.full(h * w, -1, dtype=np.int64)
+    # Fancy assignment applies indices in order -> the last (row-major
+    # largest) source index wins, matching the reference's loop order.
+    winner[dest[ok]] = src[ok]
+    return winner.astype(np.int32)
+
+
+def cylindrical_project(img_bgr: jnp.ndarray, focal: float) -> jnp.ndarray:
+    """Project one (H, W, 3) uint8 image; unmapped pixels are black."""
+    h, w = img_bgr.shape[:2]
+    winner = jnp.asarray(cylindrical_index_map(h, w, focal))
+    return _gather_project(img_bgr, winner)
+
+
+@jax.jit
+def _gather_project(img_bgr: jnp.ndarray, winner: jnp.ndarray) -> jnp.ndarray:
+    h, w = img_bgr.shape[:2]
+    flat = img_bgr.reshape(h * w, -1)
+    picked = flat[jnp.clip(winner, 0, h * w - 1)]
+    out = jnp.where((winner >= 0)[:, None], picked, 0)
+    return out.reshape(img_bgr.shape)
+
+
+def cylindrical_project_batch(
+    batch_bgr: jnp.ndarray, focals: Tuple[float, ...]
+) -> jnp.ndarray:
+    """Project a (N, H, W, 3) uint8 batch with per-image focals on device."""
+    n, h, w = batch_bgr.shape[:3]
+    winners = np.stack([cylindrical_index_map(h, w, f) for f in focals])
+    return _gather_project_batch(batch_bgr, jnp.asarray(winners))
+
+
+@jax.jit
+def _gather_project_batch(batch: jnp.ndarray, winners: jnp.ndarray) -> jnp.ndarray:
+    return jax.vmap(_gather_project)(batch, winners)

@@ -1,0 +1,147 @@
+"""Host-side data I/O: pano.txt parsing and image loading.
+
+Replicates the reference's AutoStitch ``pano.txt`` heuristic exactly
+(image_stitching_harris.py:10-44), including the quirk that an image line
+with no space-free float-parsable line before the next image line is
+silently dropped (this happens for ``wind/pano.txt`` — wind02.jpg has no
+focal length recorded, so the wind "panorama" is a single image).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:  # pragma: no cover - environment probe
+    import cv2  # type: ignore
+
+    _HAVE_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    _HAVE_CV2 = False
+
+
+def read_pano_data(pano_file_path: str) -> Tuple[List[str], List[float]]:
+    """Parse an AutoStitch ``pano.txt`` into (image paths, focal lengths).
+
+    Heuristic (reference parity, image_stitching_harris.py:29-43):
+      * any line containing ``.jpg`` or ``.png`` (case-insensitive) becomes
+        the pending image path (stored with original case, stripped);
+      * the next non-image line that has no internal space and parses as a
+        float is taken as that image's focal length in pixels;
+      * dimension / homography-matrix lines are skipped because they contain
+        spaces; an image line with no focal before the next image line is
+        dropped.
+    """
+    images: List[str] = []
+    focuses: List[float] = []
+    pending_img: Optional[str] = None
+
+    with open(pano_file_path, "r", encoding="utf-8") as f:
+        all_lines = f.read().splitlines()
+
+    for text_line in all_lines:
+        line_stripped = text_line.strip().lower()
+        if (".jpg" in line_stripped) or (".png" in line_stripped):
+            pending_img = text_line.strip()
+        elif (" " not in line_stripped) and line_stripped:
+            try:
+                val = float(line_stripped)
+            except ValueError:
+                continue
+            if pending_img is not None:
+                images.append(pending_img)
+                focuses.append(val)
+                pending_img = None
+    return images, focuses
+
+
+def resolve_image_path(path: str, folder: str) -> str:
+    """Reference path-fallback rule (image_stitching_harris.py:452).
+
+    The shipped pano.txt files carry the author's absolute Windows paths, so
+    the ``folder/basename`` fallback is the branch that actually fires.
+    """
+    if os.path.exists(path):
+        return path
+    # os.path.basename does not split Windows backslashes on POSIX; the
+    # reference has the same behavior but its fallback still works because
+    # basename of "C:\\...\\out00.jpg" contains the filename.  Handle both.
+    base = os.path.basename(path.replace("\\", "/"))
+    return os.path.join(folder, base)
+
+
+def load_bgr(path: str) -> Optional[np.ndarray]:
+    """Load an image as BGR uint8 (cv2.imread parity); None if unreadable."""
+    if _HAVE_CV2:
+        img = cv2.imread(path)
+        return img
+    try:  # pragma: no cover - PIL fallback when cv2 is unavailable
+        from PIL import Image
+
+        with Image.open(path) as im:
+            rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        return rgb[..., ::-1].copy()
+    except Exception:
+        return None
+
+
+def save_bgr(path: str, img: np.ndarray) -> None:
+    """Write a BGR uint8 image (cv2.imwrite parity for .jpg output)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if _HAVE_CV2:
+        cv2.imwrite(path, img)
+        return
+    from PIL import Image  # pragma: no cover
+
+    Image.fromarray(img[..., ::-1]).save(path, quality=95)
+
+
+def load_dataset(
+    folder: str, pano_file: Optional[str] = None
+) -> Tuple[List[Optional[np.ndarray]], List[float], List[str]]:
+    """Load a dataset folder: returns (BGR images or None, focals, paths).
+
+    Mirrors the reference driver's load phase (image_stitching_harris.py:441-458):
+    unreadable images become ``None`` placeholders that downstream stages
+    tolerate (shift (0,0), dummy match pair).
+    """
+    if not folder.endswith(("/", "\\")):
+        folder = folder + "/"
+    if pano_file is None:
+        pano_file = os.path.join(folder, "pano.txt")
+    img_paths, focals = read_pano_data(pano_file)
+    images: List[Optional[np.ndarray]] = []
+    resolved: List[str] = []
+    for p in img_paths:
+        full_p = resolve_image_path(p, folder)
+        resolved.append(full_p)
+        images.append(load_bgr(full_p))
+    return images, focals, resolved
+
+
+def stack_dataset(
+    images: Sequence[Optional[np.ndarray]],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack same-shape images into (N, H, W, 3) uint8 + validity mask.
+
+    ``None`` entries are replaced by zeros with ``valid=False`` so the
+    batched device pipeline keeps fixed shapes; callers consult the mask to
+    reproduce the reference's degraded-mode behavior
+    (image_stitching_harris.py:479-482).
+    """
+    shapes = {im.shape for im in images if im is not None}
+    if len(shapes) > 1:
+        raise ValueError(f"dataset images disagree on shape: {shapes}")
+    if not shapes:
+        raise ValueError("no readable images in dataset")
+    shape = next(iter(shapes))
+    batch = np.zeros((len(images),) + shape, dtype=np.uint8)
+    valid = np.zeros((len(images),), dtype=bool)
+    for i, im in enumerate(images):
+        if im is not None:
+            batch[i] = im
+            valid[i] = True
+    return batch, valid
