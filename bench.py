@@ -1,0 +1,80 @@
+"""Headline benchmark: end-to-end panorama stitch wall-clock on real TPU.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+North star (BASELINE.json): 18-image parrington SIFT stitch end-to-end
+< 1 s on one chip vs ~1446 s reference CPU.  Until the SIFT backend lands,
+the headline is the Harris 18-image parrington stitch vs its 19.38 s
+reference baseline.  Warm-cache wall-clock is reported (one untimed warmup
+run to exclude XLA compile, which is cached across processes via the
+persistent compilation cache).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+DATA_ROOT = os.environ.get("VFX_REFERENCE_DIR", "/root/reference")
+
+BASELINES = {
+    "harris": 19.38,   # parrington 18-img Harris, reference CPU (report p.17)
+    "sift": 1446.45,   # parrington 18-img SIFT, reference CPU (report p.17)
+}
+
+
+def run(backend: str) -> dict:
+    from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama
+
+    folder = os.path.join(DATA_ROOT, "parrington")
+    # warmup (compile + cache)
+    stitch_panorama(folder, backend=backend, crop_margin=15, save_path=None)
+    t0 = time.time()
+    res = stitch_panorama(folder, backend=backend, crop_margin=15, save_path=None)
+    elapsed = time.time() - t0
+
+    baseline = BASELINES[backend]
+    out = {
+        "metric": f"parrington 18-img {backend} stitch end-to-end (warm)",
+        "value": round(elapsed, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline / elapsed, 1),
+    }
+    # parity extras (not part of the one-line contract, kept in the dict)
+    golden_path = os.path.join(
+        DATA_ROOT, "Result", f"{backend}_prtn_result.jpg"
+    )
+    try:
+        import cv2
+        import numpy as np
+
+        golden = cv2.imread(golden_path)
+        if golden is not None and golden.shape == res.panorama.shape:
+            d = res.panorama.astype(np.float64) - golden.astype(np.float64)
+            out["rmse_vs_golden"] = round(float(np.sqrt((d**2).mean())), 3)
+    except Exception:
+        pass
+    return out
+
+
+def main() -> None:
+    backend = os.environ.get("VFX_BENCH_BACKEND")
+    if backend is None:
+        try:
+            from vfx_image_stitching_tpu.models.sift import sift_batch  # noqa: F401
+
+            backend = "sift"
+        except Exception:
+            backend = "harris"
+    print(json.dumps(run(backend)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""Sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vfx_image_stitching_tpu.parallel import make_mesh, sharded_pairwise_shifts
+from vfx_image_stitching_tpu.config import StitchConfig
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_pairwise_shifts_matches_unsharded():
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(0, 256, (8, 64, 48, 3), dtype=np.uint8))
+    cfg = StitchConfig(backend="harris")
+
+    mesh = make_mesh(8)
+    sharded = sharded_pairwise_shifts(batch, mesh, cfg)
+
+    from vfx_image_stitching_tpu.parallel.mesh import _pairwise_shift_step
+
+    local = _pairwise_shift_step(batch, cfg)
+    for s, l in zip(jax.device_get(sharded), jax.device_get(local)):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(l), atol=1e-5)
+
+
+def test_graft_entry_contracts():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,68 @@
+"""End-to-end Harris pipeline regression on the reference datasets.
+
+Expected shifts/pairs were produced by running the reference scripts in
+this environment (they reproduce the author's parrington golden shape
+exactly); asserting equality pins full-pipeline parity without paying the
+reference's multi-second oracle cost at test time.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference, requires_cv2, REFERENCE_DIR
+
+# reference (this-environment) results for out/: shift & winning pair
+OUT_SHIFT = (-97.0, 4.0)
+OUT_PAIR = ((152.0, 55.0), (249.0, 51.0))
+
+# reference parrington pairwise shifts (18 images -> 17 pairs)
+PARRINGTON_SHIFTS = [
+    (-246.0, -4.0), (-242.0, -4.0), (-250.0, -5.0), (-241.0, -4.0),
+    (-250.0, -4.0), (-242.0, -4.0), (-246.0, -5.0), (-246.0, -3.0),
+    (-240.0, -5.0), (-249.0, -4.0), (-245.0, -5.0), (-240.0, -4.0),
+    (-251.0, -5.0), (-245.0, -5.0), (-241.0, -4.0), (-254.0, -4.0),
+    (-241.0, -4.0),
+]
+
+
+@requires_reference
+@requires_cv2
+def test_out_harris_end_to_end():
+    from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama
+
+    res = stitch_panorama(
+        os.path.join(REFERENCE_DIR, "out"),
+        backend="harris",
+        crop_margin=30,
+        save_path=None,
+    )
+    assert res.shifts == [OUT_SHIFT]
+    assert res.pairs == [OUT_PAIR]
+    assert res.mosaic.shape == (571, 525, 3)
+    assert res.panorama.shape == (511, 497, 3)
+
+
+@requires_reference
+@requires_cv2
+@pytest.mark.slow
+def test_parrington_harris_end_to_end_vs_golden():
+    import cv2
+
+    from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama
+
+    res = stitch_panorama(
+        os.path.join(REFERENCE_DIR, "parrington"),
+        backend="harris",
+        crop_margin=15,
+        save_path=None,
+    )
+    assert res.shifts == PARRINGTON_SHIFTS
+    golden = cv2.imread(
+        os.path.join(REFERENCE_DIR, "Result", "harris_prtn_result.jpg")
+    )
+    assert res.panorama.shape == golden.shape
+    d = res.panorama.astype(np.float64) - golden.astype(np.float64)
+    rmse = float(np.sqrt((d**2).mean()))
+    assert rmse < 3.0  # JPEG-noise level ("blend tolerance")

@@ -1,0 +1,50 @@
+"""Rectangling crop (image_stitching_harris.py:381-420).
+
+Gray > black_threshold defines content; the bounding box is shrunk by
+``extra_margin`` in y only (the reference's x-shrink is commented out at
+image_stitching_harris.py:412-413); a degenerate box or an all-black image
+returns the input unchanged.  Mask reductions run on device; the final
+(dynamic-shape) slice happens on the host.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vfx_image_stitching_tpu.ops.color import bgr_to_gray_u8
+
+
+@jax.jit
+def _content_bounds(img: jnp.ndarray, black_threshold: jnp.ndarray):
+    gray = bgr_to_gray_u8(img)
+    mask = gray > black_threshold
+    rows = jnp.any(mask, axis=1)
+    cols = jnp.any(mask, axis=0)
+    h, w = gray.shape
+    y_min = jnp.argmax(rows)
+    y_max = h - 1 - jnp.argmax(rows[::-1])
+    x_min = jnp.argmax(cols)
+    x_max = w - 1 - jnp.argmax(cols[::-1])
+    return y_min, y_max, x_min, x_max, jnp.any(rows)
+
+
+def rectangle_crop(
+    img: np.ndarray, black_threshold: int, extra_margin: int
+) -> np.ndarray:
+    """Crop to the content bounding box, shrunk by extra_margin in y."""
+    img = np.asarray(img)
+    h = img.shape[0]
+    y_min, y_max, x_min, x_max, any_content = jax.device_get(
+        _content_bounds(jnp.asarray(img), jnp.uint8(black_threshold))
+    )
+    if not bool(any_content):
+        return img
+    y_min = max(0, int(y_min) + extra_margin)
+    y_max = min(h - 1, int(y_max) - extra_margin)
+    if y_min > y_max or int(x_min) > int(x_max):
+        return img
+    return img[y_min : y_max + 1, int(x_min) : int(x_max) + 1]

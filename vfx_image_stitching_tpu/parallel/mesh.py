@@ -1,0 +1,81 @@
+"""Mesh construction and the sharded pairwise-shift pipeline.
+
+Design: a 1-D ``("images",)`` mesh (optionally folded into a 2-D
+``("data", "images")`` mesh for the multi-panorama throughput config).
+The (N, H, W, 3) cylindrical batch is sharded along images; feature
+extraction is purely local; the adjacent-pair stage reads ``feats[:-1]``
+and ``feats[1:]``, which XLA lowers to a one-hop halo exchange
+(collective-permute) over ICI; the resulting (N-1, 2) shift vectors are
+tiny and replicated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vfx_image_stitching_tpu.config import StitchConfig
+from vfx_image_stitching_tpu.models.harris import harris_batch
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_name: str = "images"
+) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def shard_batch(batch: jnp.ndarray, mesh: Mesh, axis_name: str = "images"):
+    """Place an (N, ...) batch sharded along its leading axis."""
+    return jax.device_put(batch, NamedSharding(mesh, P(axis_name)))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _pairwise_shift_step(cyl: jnp.ndarray, cfg: StitchConfig):
+    """One full device step: features + adjacent-pair match + voting.
+
+    This is the framework's "training-step equivalent": the complete
+    batched compute of a stitching round, jittable under any sharding of
+    the leading image axis.
+    """
+    from vfx_image_stitching_tpu.pipeline.stitch import _pair_shift
+
+    mcfg = cfg.match()
+    if cfg.backend == "harris":
+        xy, descs, valid_kp = harris_batch(cyl, cfg.harris)
+    else:
+        from vfx_image_stitching_tpu.models.sift import sift_batch
+
+        xy, descs, valid_kp = sift_batch(cyl, cfg.sift)
+    pair_fn = jax.vmap(
+        functools.partial(
+            _pair_shift,
+            desc_thresh=mcfg.desc_thresh,
+            ransac_thresh=mcfg.ransac_thresh,
+        )
+    )
+    return pair_fn(
+        xy[:-1], descs[:-1], valid_kp[:-1], xy[1:], descs[1:], valid_kp[1:]
+    )
+
+
+def sharded_pairwise_shifts(
+    batch: jnp.ndarray,
+    mesh: Mesh,
+    cfg: Optional[StitchConfig] = None,
+    axis_name: str = "images",
+):
+    """Run the pairwise-shift step with the image axis sharded over ``mesh``.
+
+    Returns (shifts, pair_a, pair_b, any_match, counts) device arrays.
+    """
+    cfg = cfg or StitchConfig(backend="harris")
+    batch = jax.device_put(batch, NamedSharding(mesh, P(axis_name)))
+    return _pairwise_shift_step(batch, cfg)

@@ -1,0 +1,201 @@
+"""End-to-end panorama stitching (run_panorama parity).
+
+Pipeline phases mirror the reference driver (image_stitching_harris.py:
+425-548 / image_stitching_sift.py:254-389):
+
+  1. load + cylindrical projection          [host IO + device gather]
+  2. pairwise shifts (features + match + voting RANSAC)   [device, batched]
+  3. drift correction                        [host float64]
+  4. sequential compositing                  [device lax.scan]
+  5. rectangling crop                        [device reductions + host slice]
+
+All per-image work is batched (N, H, W, 3) and vmapped; pairwise stages are
+vmapped over the N-1 adjacent pairs.  Phase timers (with
+``block_until_ready``) reproduce the reference's stdout timing format.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vfx_image_stitching_tpu.config import StitchConfig
+from vfx_image_stitching_tpu.compose import (
+    compose_mosaic,
+    plan_compose,
+    rectangle_crop,
+)
+from vfx_image_stitching_tpu.estimate import correct_drift, translation_ransac
+from vfx_image_stitching_tpu.geometry import cylindrical_project_batch
+from vfx_image_stitching_tpu.io import load_dataset, stack_dataset, save_bgr
+from vfx_image_stitching_tpu.match import match_descriptors
+from vfx_image_stitching_tpu.models.harris import harris_batch
+
+
+@dataclasses.dataclass
+class StitchResult:
+    panorama: np.ndarray                  # cropped final panorama (BGR u8)
+    mosaic: np.ndarray                    # uncropped mosaic
+    shifts: List[Tuple[float, float]]     # raw pairwise shifts
+    corrected_shifts: List[Tuple[float, float]]
+    pairs: List[Optional[Tuple[Tuple[float, float], Tuple[float, float]]]]
+    timings: dict
+    steps: Optional[List[np.ndarray]] = None
+
+
+@functools.partial(jax.jit, static_argnames=("desc_thresh", "ransac_thresh"))
+def _pair_shift(
+    xy_a, desc_a, valid_a, xy_b, desc_b, valid_b,
+    desc_thresh: float, ransac_thresh: float,
+):
+    """Shift + winning pair for one adjacent image pair (fixed shape)."""
+    best_b, matched = match_descriptors(
+        desc_a, valid_a, desc_b, valid_b, desc_thresh
+    )
+    pts_a = xy_a.astype(jnp.float32)
+    pts_b = xy_b[best_b].astype(jnp.float32)
+    moves = pts_a - pts_b
+    best_i, votes, any_match = translation_ransac(moves, matched, ransac_thresh)
+    shift = jnp.where(any_match, moves[best_i], jnp.zeros(2, jnp.float32))
+    pair_a = jnp.where(any_match, pts_a[best_i], jnp.zeros(2, jnp.float32))
+    pair_b = jnp.where(any_match, pts_b[best_i], jnp.zeros(2, jnp.float32))
+    return shift, pair_a, pair_b, any_match, jnp.sum(matched)
+
+
+def compute_pairwise_shifts(
+    cyl: jnp.ndarray,
+    valid: Sequence[bool],
+    cfg: StitchConfig,
+) -> Tuple[List[Tuple[float, float]], List[Optional[tuple]], np.ndarray]:
+    """Batched feature extraction + adjacent-pair shift estimation.
+
+    Returns (shifts, pairs, match_counts); unreadable images produce the
+    reference's degraded ((0,0), dummy pair) entries
+    (image_stitching_harris.py:479-482).
+    """
+    mcfg = cfg.match()
+    if cfg.backend == "harris":
+        xy, descs, valid_kp = harris_batch(cyl, cfg.harris)
+    else:
+        from vfx_image_stitching_tpu.models.sift import sift_batch
+
+        xy, descs, valid_kp = sift_batch(cyl, cfg.sift)
+
+    pair_fn = jax.vmap(
+        functools.partial(
+            _pair_shift,
+            desc_thresh=mcfg.desc_thresh,
+            ransac_thresh=mcfg.ransac_thresh,
+        )
+    )
+    shifts_d, pa_d, pb_d, any_d, counts_d = pair_fn(
+        xy[:-1], descs[:-1], valid_kp[:-1],
+        xy[1:], descs[1:], valid_kp[1:],
+    )
+    shifts_np = np.asarray(shifts_d, dtype=np.float64)
+    pa_np = np.asarray(pa_d, dtype=np.float64)
+    pb_np = np.asarray(pb_d, dtype=np.float64)
+    any_np = np.asarray(any_d)
+    counts = np.asarray(counts_d)
+
+    shifts: List[Tuple[float, float]] = []
+    pairs: List[Optional[tuple]] = []
+    n = cyl.shape[0]
+    for i in range(n - 1):
+        if not (valid[i] and valid[i + 1]):
+            shifts.append((0.0, 0.0))
+            pairs.append(((0.0, 0.0), (0.0, 0.0)))
+        elif not any_np[i]:
+            shifts.append((0.0, 0.0))
+            pairs.append(None)
+        else:
+            shifts.append((float(shifts_np[i, 0]), float(shifts_np[i, 1])))
+            pairs.append(
+                (
+                    (float(pa_np[i, 0]), float(pa_np[i, 1])),
+                    (float(pb_np[i, 0]), float(pb_np[i, 1])),
+                )
+            )
+    return shifts, pairs, counts
+
+
+def stitch_panorama(
+    folder: str,
+    backend: str = "harris",
+    pano_file: Optional[str] = None,
+    crop_margin: Optional[int] = None,
+    cfg: Optional[StitchConfig] = None,
+    save_path: Optional[str] = None,
+    return_steps: bool = False,
+    verbose: bool = False,
+) -> StitchResult:
+    """Stitch one dataset folder end to end."""
+    cfg = cfg or StitchConfig(backend=backend)
+    if cfg.backend != backend:
+        cfg = dataclasses.replace(cfg, backend=backend)
+    margin = cfg.crop_margin if crop_margin is None else crop_margin
+
+    timings = {}
+    t0 = time.time()
+    images, focals, _paths = load_dataset(folder, pano_file)
+    if not images:
+        raise ValueError("no valid entries in pano.txt")
+    batch, valid = stack_dataset(images)
+    n, h, w = batch.shape[:3]
+
+    cyl = cylindrical_project_batch(jnp.asarray(batch), tuple(focals))
+    cyl.block_until_ready()
+    t1 = time.time()
+    timings["load_project"] = t1 - t0
+    if verbose:
+        print(f"Timer: {t1 - t0:.2f} s load + cylindrical projection")
+
+    shifts, pairs, counts = compute_pairwise_shifts(cyl, list(valid), cfg)
+    t2 = time.time()
+    timings["features_ransac"] = t2 - t1
+    if verbose:
+        print(f"Timer: {t2 - t1:.2f} s features + RANSAC "
+              f"(matches per pair: {list(map(int, counts))})")
+
+    corrected = correct_drift(shifts, n_images=n)
+    plan = plan_compose(h, w, n, list(valid), corrected, pairs)
+    out = compose_mosaic(cyl, plan, return_steps=return_steps)
+    if return_steps:
+        mosaic_d, steps = out
+    else:
+        mosaic_d, steps = out, None
+    mosaic = np.asarray(mosaic_d)
+    t3 = time.time()
+    timings["compose"] = t3 - t2
+
+    panorama = rectangle_crop(mosaic, cfg.black_threshold, margin)
+    t4 = time.time()
+    timings["crop"] = t4 - t3
+    timings["total"] = t4 - t0
+    if verbose:
+        print(f"Total: {t4 - t0:.2f} s")
+
+    if save_path is None and folder:
+        save_path = os.path.join(folder, f"panoroma_{cfg.backend}.jpg")
+    if save_path:
+        try:
+            save_bgr(save_path, panorama)
+        except (OSError, PermissionError):  # read-only dataset dirs
+            pass
+
+    return StitchResult(
+        panorama=panorama,
+        mosaic=mosaic,
+        shifts=shifts,
+        corrected_shifts=corrected,
+        pairs=pairs,
+        timings=timings,
+        steps=steps,
+    )
