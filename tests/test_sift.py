@@ -1,0 +1,172 @@
+"""SIFT backend parity vs the reference implementation run as oracle.
+
+Runs on a small crop of a real image: the reference's Python loops stay
+fast and the jit compile stays bounded while every stage (pyramid,
+extrema, localization, orientation, descriptors, dedup) is exercised.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vfx_image_stitching_tpu.config import SiftConfig
+from tests.conftest import requires_reference, requires_cv2, REFERENCE_DIR
+
+
+@pytest.fixture(scope="module")
+def ref_sift():
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip("reference repo not mounted")
+    sys.path.insert(0, REFERENCE_DIR)
+    import sift_impl
+
+    return sift_impl
+
+
+@pytest.fixture(scope="module")
+def crop_gray():
+    import cv2
+
+    img = cv2.imread(os.path.join(REFERENCE_DIR, "out", "out00.jpg"))
+    crop = np.ascontiguousarray(img[150:278, 100:268])
+    return cv2.cvtColor(crop, cv2.COLOR_BGR2GRAY).astype("float32")
+
+
+@pytest.fixture(scope="module")
+def ours(crop_gray):
+    from vfx_image_stitching_tpu.models.sift.extract import (
+        sift_keypoints_and_descriptors,
+    )
+
+    kps, desc, stats = jax.jit(
+        sift_keypoints_and_descriptors, static_argnames=("cfg",)
+    )(jnp.asarray(crop_gray), SiftConfig())
+    return jax.device_get(kps), np.asarray(desc), jax.device_get(stats)
+
+
+@pytest.fixture(scope="module")
+def theirs(ref_sift, crop_gray):
+    return ref_sift.compute_keypoints_and_descriptors(crop_gray.copy())
+
+
+@requires_reference
+@requires_cv2
+def test_pyramid_matches_reference(ref_sift, crop_gray):
+    from vfx_image_stitching_tpu.models.sift import (
+        generate_base_image,
+        compute_number_of_octaves,
+        generate_gaussian_kernels,
+        generate_gaussian_images,
+        generate_dog_images,
+    )
+
+    base_r = ref_sift.generate_base_image(crop_gray, 1.6, 0.5)
+    base_o = np.asarray(generate_base_image(jnp.asarray(crop_gray)))
+    assert np.abs(base_o - base_r).max() < 1e-3
+
+    n = compute_number_of_octaves(base_o.shape)
+    assert n == ref_sift.compute_number_of_octaves(base_r.shape)
+
+    kern_o = generate_gaussian_kernels(1.6, 3)
+    kern_r = ref_sift.generate_gaussian_kernels(1.6, 3)
+    np.testing.assert_allclose(kern_o, kern_r, atol=1e-12)
+
+    pyr_r = ref_sift.generate_gaussian_images(base_r, n, kern_r)
+    pyr_o = generate_gaussian_images(jnp.asarray(base_o), n, kern_o)
+    for o in range(n):
+        for lvl in range(6):
+            assert (
+                np.abs(np.asarray(pyr_o[o][lvl]) - pyr_r[o][lvl]).max() < 1e-3
+            ), (o, lvl)
+
+    dog_r = ref_sift.generate_DoG_images(pyr_r)
+    dog_o = generate_dog_images(pyr_o)
+    assert np.abs(np.asarray(dog_o[0][0]) - dog_r[0][0]).max() < 2e-3
+
+
+@requires_reference
+@requires_cv2
+def test_keypoints_match_reference(ours, theirs):
+    kps_o, _desc, stats = ours
+    kps_ref, _ = theirs
+    v = np.nonzero(np.asarray(kps_o.valid))[0]
+    ref_arr = np.array(
+        [[kp.pt[0], kp.pt[1], kp.size, kp.angle] for kp in kps_ref]
+    )
+    matched = 0
+    for i in v:
+        o = np.array(
+            [float(kps_o.x[i]), float(kps_o.y[i]), float(kps_o.size[i]),
+             float(kps_o.angle[i])]
+        )
+        if np.abs(ref_arr - o[None]).sum(1).min() < 0.1:
+            matched += 1
+    # tolerate a tiny fringe of borderline extrema flipping on f32 noise
+    assert matched >= 0.95 * len(kps_ref)
+    assert abs(len(v) - len(kps_ref)) <= max(2, len(kps_ref) // 20)
+
+
+@requires_reference
+@requires_cv2
+def test_descriptors_match_reference(ours, theirs):
+    kps_o, desc_o, _ = ours
+    kps_ref, desc_ref = theirs
+    v = np.nonzero(np.asarray(kps_o.valid))[0]
+    ref_arr = np.array([[kp.pt[0], kp.pt[1], kp.size, kp.angle] for kp in kps_ref])
+    matched, errs = 0, []
+    for i in v:
+        o = np.array(
+            [float(kps_o.x[i]), float(kps_o.y[i]), float(kps_o.size[i]),
+             float(kps_o.angle[i])]
+        )
+        d = np.abs(ref_arr - o[None]).sum(1)
+        j = int(np.argmin(d))
+        if d[j] < 0.1:
+            matched += 1
+            errs.append(np.abs(desc_o[i] - desc_ref[j]).max())
+    assert matched >= 0.95 * len(kps_ref)
+    errs = np.array(errs)
+    # descriptors are 0..255-scaled integers; rint-level noise only
+    assert np.median(errs) <= 1.0
+    assert (errs <= 2.0).mean() > 0.97
+
+
+@requires_reference
+@requires_cv2
+def test_no_capacity_overflow(ours):
+    _, _, stats = ours
+    assert (np.asarray(stats["cand_counts"]) < np.asarray(stats["cand_caps"])).all()
+    assert (
+        np.asarray(stats["oriented_counts"]) < np.asarray(stats["oriented_caps"])
+    ).all()
+    assert int(stats["final_count"]) < int(stats["final_cap"])
+
+
+@requires_reference
+@requires_cv2
+def test_reference_signature_wrapper(crop_gray):
+    from vfx_image_stitching_tpu.models.sift import (
+        compute_keypoints_and_descriptors,
+    )
+
+    records, desc = compute_keypoints_and_descriptors(crop_gray)
+    assert len(records) == desc.shape[0] > 0
+    assert desc.shape[1] == 128
+    r = records[0]
+    assert hasattr(r, "pt") and hasattr(r, "octave") and r.class_id == -1
+
+
+def test_unpack_octave_roundtrip():
+    from vfx_image_stitching_tpu.models.sift import unpack_octave
+
+    # packed = octave + layer<<8 + offset_byte<<16, octave sign-extended
+    packed = jnp.asarray([0 + (2 << 8) + (128 << 16), 255 + (1 << 8)], jnp.int32)
+    octv, layer, scale = unpack_octave(packed)
+    assert int(octv[0]) == 0 and int(layer[0]) == 2
+    assert float(scale[0]) == 1.0
+    assert int(octv[1]) == -1 and int(layer[1]) == 1
+    assert float(scale[1]) == 2.0

@@ -42,26 +42,38 @@ class SiftCapacities:
     audit utility lives in :mod:`vfx_image_stitching_tpu.utils.capacity`.
     """
 
-    # Per-octave cap on raw 26-neighbor extrema candidates.  Octave 0 of a
-    # 768x1024 base image yields the most; higher octaves shrink 4x each.
+    # Per-octave cap on raw 26-neighbor extrema candidates.  Audit maxima
+    # on the reference datasets: 1663 (octave 0), 565 (octave 1), 151
+    # (octave 2), rapidly shrinking after.
     max_candidates: int = 4096
     # Orientation peaks emitted per localized candidate
-    # (sift_impl.py:280-292 can emit several; audit shows <= 3 in practice).
-    max_orientations: int = 4
+    # (sift_impl.py:280-292 can emit several; audit max is 5).
+    max_orientations: int = 8
     # Final per-image keypoint capacity after dedup/compaction (matching
-    # operates on (max_keypoints, 128) descriptor blocks).
-    max_keypoints: int = 8192
+    # operates on (max_keypoints, 128) descriptor blocks).  Audit max
+    # total keypoints/image is ~1800.
+    max_keypoints: int = 3072
     # Orientation histogram window half-radius cap (sift_impl.py:254 radius
-    # is data dependent; audit shows <= 21 on the reference datasets).
+    # is data dependent; audit max is 17).
     max_radius: int = 24
     # Descriptor sampling window half-width cap (sift_impl.py:386-387
-    # half_width is data dependent; audit shows <= 48).
-    max_half_width: int = 56
+    # half_width is data dependent; audit max is 41, p99 is 38).
+    max_half_width: int = 48
+    # Per-octave descriptor-slot caps (post peak-expansion compaction);
+    # audit maxima: 1202 (octave 0), 392 (octave 1), 116 (octave 2).
+    max_oriented: int = 3072
+    # GEMM chunk for the descriptor one-hot contraction (memory knob).
+    desc_chunk: int = 64
 
     def scaled_candidates(self, octave: int) -> int:
         """Candidate capacity for a given octave (shrinks with area)."""
-        c = self.max_candidates >> max(0, octave - 1)
-        return max(256, c)
+        c = self.max_candidates >> (2 * octave)
+        return max(128, c)
+
+    def scaled_oriented(self, octave: int) -> int:
+        """Oriented-keypoint capacity per octave (shrinks with area)."""
+        c = self.max_oriented >> (2 * octave)
+        return max(128, c)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,166 @@
+"""128-d SIFT descriptors as a batched trilinear one-hot GEMM.
+
+Parity with ``generate_descriptors`` (sift_impl.py:361-526): per keypoint
+a (2*half_width+1)^2 sample window, direct-differencing gradients, local
+coordinates rotated by ``360 - angle``, 4x4 spatial x 8 orientation bins
+with trilinear scatter into a padded (6, 6, 8) tensor, then clip at
+0.2*|v|, renormalize, and ``round(512 v)`` clamped to [0, 255].
+
+The reference's ``np.add.at`` scatter decomposes *separably*: every sample
+contributes ``wm * R6 (x) C6 (x) O8`` where R6/C6/O8 are two-hot interp
+vectors.  The whole descriptor is then one batched matmul
+``(36, S) @ (S, 8)`` per keypoint — MXU work with no scatter at all.
+Chunked over keypoints to bound the (chunk, S, 36) one-hot intermediate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from vfx_image_stitching_tpu.config import SiftConfig
+from vfx_image_stitching_tpu.models.sift.keypoints import Keypoints, unpack_octave
+from vfx_image_stitching_tpu.models.sift.orientation import _window_gather
+
+
+def _two_hot(idx: jnp.ndarray, frac_lo: jnp.ndarray, frac_hi: jnp.ndarray,
+             n: int, wrap: bool) -> jnp.ndarray:
+    """(..., n) vector with frac_lo at idx and frac_hi at idx+1 (opt. mod n)."""
+    pos = jnp.arange(n, dtype=jnp.int32)
+    idx0 = jnp.mod(idx, n) if wrap else idx
+    idx1 = jnp.mod(idx + 1, n) if wrap else idx + 1
+    lo = jnp.where(pos == idx0[..., None], frac_lo[..., None], 0.0)
+    hi = jnp.where(pos == idx1[..., None], frac_hi[..., None], 0.0)
+    return lo + hi
+
+
+def compute_descriptors(
+    mag_stack: jnp.ndarray,
+    ang_stack: jnp.ndarray,
+    kps: Keypoints,
+    octave: int,
+    cfg: SiftConfig,
+) -> jnp.ndarray:
+    """(K, 128) descriptors for *converted* keypoints of one octave.
+
+    ``mag_stack``/``ang_stack`` are the (6, H_o, W_o) gradient fields of
+    the keypoints' own octave (after conversion ``unpack_octave`` yields
+    ``octv = octave - 1`` and the reference reads
+    ``gaussian_images[octv + 1][layer]`` — i.e. this very octave).
+    """
+    caps = cfg.capacities
+    half_cap = caps.max_half_width
+    s = 2 * half_cap + 1
+    nb = cfg.desc_bins
+    ww = cfg.window_width
+    rows_dim, cols_dim = mag_stack.shape[-2:]
+
+    octv, layer, scl = unpack_octave(kps.octave)
+    pt_x = jnp.rint(scl * kps.x).astype(jnp.int32)
+    pt_y = jnp.rint(scl * kps.y).astype(jnp.int32)
+    angle = 360.0 - kps.angle
+    rad = jnp.deg2rad(angle)
+    cos_a = jnp.cos(rad)
+    sin_a = jnp.sin(rad)
+
+    hist_width = cfg.scale_multiplier * 0.5 * scl * kps.size
+    half_w = jnp.rint(hist_width * (math.sqrt(2) * (ww + 1) * 0.5)).astype(jnp.int32)
+    diag = int(math.sqrt(rows_dim**2 + cols_dim**2))
+    half_w = jnp.minimum(half_w, diag)
+    half_w = jnp.minimum(half_w, half_cap)
+
+    magw, rows, cols = _window_gather(mag_stack, layer, pt_y, pt_x, half_cap)
+    angw, _, _ = _window_gather(ang_stack, layer, pt_y, pt_x, half_cap)
+
+    ys = rows - pt_y[:, None]                       # (K, S) row offsets
+    xs = cols - pt_x[:, None]                       # (K, S) col offsets
+    in_win = (
+        (jnp.abs(ys) <= half_w[:, None])[:, :, None]
+        & (jnp.abs(xs) <= half_w[:, None])[:, None, :]
+    )
+    in_bounds = (
+        ((rows > 0) & (rows < rows_dim - 1))[:, :, None]
+        & ((cols > 0) & (cols < cols_dim - 1))[:, None, :]
+    )
+    ysf = ys.astype(jnp.float32)[:, :, None]
+    xsf = xs.astype(jnp.float32)[:, None, :]
+    r_rot = xsf * sin_a[:, None, None] + ysf * cos_a[:, None, None]
+    c_rot = xsf * cos_a[:, None, None] - ysf * sin_a[:, None, None]
+    hw = hist_width[:, None, None]
+    r_bin = r_rot / hw + 0.5 * ww - 0.5
+    c_bin = c_rot / hw + 0.5 * ww - 0.5
+    in_bin = (r_bin > -1.0) & (r_bin < ww) & (c_bin > -1.0) & (c_bin < ww)
+
+    weight_mul = -0.5 / ((0.5 * ww) ** 2)
+    weight = jnp.exp(weight_mul * ((r_rot / hw) ** 2 + (c_rot / hw) ** 2))
+    mask = in_win & in_bounds & in_bin & kps.valid[:, None, None]
+    wm = jnp.where(mask, weight * magw, 0.0)
+
+    # sanitize masked samples: hist_width of an invalid slot can be 0,
+    # making r_bin/c_bin inf/nan, and 0 * nan would poison the GEMM
+    r_bin = jnp.where(mask, r_bin, 0.0)
+    c_bin = jnp.where(mask, c_bin, 0.0)
+
+    orient = angw
+    ob = jnp.mod((orient - angle[:, None, None]) * (nb / 360.0), nb)
+    ob = jnp.where(mask, ob, 0.0)
+
+    r0 = jnp.floor(r_bin).astype(jnp.int32)
+    c0 = jnp.floor(c_bin).astype(jnp.int32)
+    o0 = jnp.mod(jnp.floor(ob).astype(jnp.int32), nb)
+    rf = r_bin - r0
+    cf = c_bin - c0
+    of = ob - o0
+
+    k = wm.shape[0]
+    s2 = s * s
+    # reference row split: c1 = wm*rf to row r0+2, (wm - c1) to row r0+1
+    c1 = wm * rf
+    r6 = _two_hot(
+        jnp.clip(r0 + 1, 0, ww + 1), (wm - c1), c1, ww + 2, wrap=False
+    )                                                # (K, S, S, 6), wm folded
+    c6 = _two_hot(
+        jnp.clip(c0 + 1, 0, ww + 1), (1.0 - cf), cf, ww + 2, wrap=False
+    )                                                # (K, S, S, 6)
+    o8 = _two_hot(o0, (1.0 - of), of, nb, wrap=True)  # (K, S, S, 8)
+
+    rc = (r6[..., :, None] * c6[..., None, :]).reshape(k, s2, (ww + 2) ** 2)
+    tensor = jax.lax.dot_general(
+        rc, o8.reshape(k, s2, nb),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                # (K, 36, 8)
+    tensor = tensor.reshape(k, ww + 2, ww + 2, nb)[:, 1:-1, 1:-1, :]
+    vec = tensor.reshape(k, ww * ww * nb)
+
+    norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    thr = norm * cfg.descriptor_max_value
+    vec = jnp.minimum(vec, thr)
+    norm2 = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    norm2 = jnp.maximum(norm2, cfg.float_tolerance)
+    vec = vec / norm2
+    vec = jnp.clip(jnp.rint(512.0 * vec), 0.0, 255.0)
+    return vec.astype(jnp.float32)
+
+
+def compute_descriptors_chunked(
+    mag_stack: jnp.ndarray,
+    ang_stack: jnp.ndarray,
+    kps: Keypoints,
+    octave: int,
+    cfg: SiftConfig,
+) -> jnp.ndarray:
+    """Chunk keypoints to bound the (chunk, S^2, 36) intermediate."""
+    k = kps.capacity
+    chunk = min(cfg.capacities.desc_chunk, k)
+    if k % chunk != 0:
+        chunk = math.gcd(k, chunk) or k
+
+    def one(chunk_kps):
+        return compute_descriptors(mag_stack, ang_stack, chunk_kps, octave, cfg)
+
+    reshaped = Keypoints(*[f.reshape(k // chunk, chunk) for f in kps])
+    out = jax.lax.map(one, reshaped)
+    return out.reshape(k, -1)

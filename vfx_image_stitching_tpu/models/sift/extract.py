@@ -1,0 +1,179 @@
+"""SIFT orchestrator: full pipeline + reference-API-parity wrappers.
+
+Stage order matches ``sift_impl.compute_keypoints_and_descriptors``
+(sift_impl.py:15-39); the only reordering is that conversion-to-input-size
+and descriptors run *per octave* before the global sort/dedup — both are
+per-keypoint elementwise maps, so the result set is identical while the
+descriptor windows can use contiguous per-octave gradient stacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vfx_image_stitching_tpu.config import SiftConfig
+from vfx_image_stitching_tpu.ops.color import bgr_to_gray_f32
+from vfx_image_stitching_tpu.models.sift.pyramid import (
+    generate_base_image,
+    compute_number_of_octaves,
+    generate_gaussian_kernels,
+    generate_gaussian_images,
+    generate_dog_images,
+    gradient_fields,
+)
+from vfx_image_stitching_tpu.models.sift.extrema import (
+    extrema_threshold,
+    extract_candidates,
+)
+from vfx_image_stitching_tpu.models.sift.localize import localize_candidates
+from vfx_image_stitching_tpu.models.sift.orientation import assign_orientations
+from vfx_image_stitching_tpu.models.sift.descriptor import (
+    compute_descriptors_chunked,
+)
+from vfx_image_stitching_tpu.models.sift.keypoints import (
+    Keypoints,
+    concatenate,
+    compact,
+    convert_keypoints_to_input_image_size,
+    sort_and_dedup,
+)
+
+
+def _to_gray(image: jnp.ndarray) -> jnp.ndarray:
+    if image.ndim == 3 and image.shape[-1] == 3:
+        return bgr_to_gray_f32(image)
+    return jnp.asarray(image, jnp.float32)
+
+
+def sift_keypoints_and_descriptors(
+    image: jnp.ndarray, cfg: SiftConfig = SiftConfig()
+) -> Tuple[Keypoints, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Full SIFT on one image -> (Keypoints, (K,128) descriptors, stats).
+
+    ``stats`` carries per-stage occupancy counts so callers/tests can
+    verify no fixed capacity truncated (the masked-array analogue of the
+    reference's dynamic lists).
+    """
+    gray = _to_gray(image)
+    base = generate_base_image(gray, cfg.sigma, cfg.assumed_blur)
+    num_octaves = compute_number_of_octaves(base.shape)
+    kernels = generate_gaussian_kernels(cfg.sigma, cfg.num_intervals)
+    pyramid = generate_gaussian_images(base, num_octaves, kernels)
+    dogs = generate_dog_images(pyramid)
+    thresh = extrema_threshold(cfg.contrast_threshold, cfg.num_intervals)
+
+    caps = cfg.capacities
+    per_kps: List[Keypoints] = []
+    per_desc: List[jnp.ndarray] = []
+    cand_counts, oriented_counts, cand_caps, oriented_caps = [], [], [], []
+    for o in range(num_octaves):
+        dog = dogs[o]
+        h_o, w_o = dog.shape[-2:]
+        cand_cap = min(caps.scaled_candidates(o), 3 * h_o * w_o)
+        layer, y, x, cand_valid = extract_candidates(
+            dog, cfg.image_border_width, thresh, cand_cap
+        )
+        loc = localize_candidates(dog, layer, y, x, cand_valid, o, cfg)
+        mag, ang = gradient_fields(pyramid[o])
+        kps = assign_orientations(mag, ang, loc, o, cfg)
+        o_cap = caps.scaled_oriented(o)
+        kps_c = compact(kps, o_cap)
+        kps_c = convert_keypoints_to_input_image_size(kps_c)
+        desc = compute_descriptors_chunked(mag, ang, kps_c, o, cfg)
+        per_kps.append(kps_c)
+        per_desc.append(desc)
+        cand_counts.append(jnp.sum(cand_valid))
+        oriented_counts.append(jnp.sum(kps.valid))
+        cand_caps.append(cand_cap)
+        oriented_caps.append(o_cap)
+
+    kps = concatenate(tuple(per_kps))
+    desc = jnp.concatenate(per_desc, axis=0)
+    kps, desc = sort_and_dedup(kps, desc, caps.max_keypoints)
+    stats = {
+        "cand_counts": jnp.stack(cand_counts),
+        "cand_caps": jnp.asarray(cand_caps),
+        "oriented_counts": jnp.stack(oriented_counts),
+        "oriented_caps": jnp.asarray(oriented_caps),
+        "final_count": kps.count(),
+        "final_cap": jnp.asarray(caps.max_keypoints),
+    }
+    return kps, desc, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sift_extract(
+    image: jnp.ndarray, cfg: SiftConfig = SiftConfig()
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pipeline interface: (xy (K,2) f32, descriptors (K,128), valid)."""
+    kps, desc, _ = sift_keypoints_and_descriptors(image, cfg)
+    xy = jnp.stack([kps.x, kps.y], axis=-1)
+    return xy, desc, kps.valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sift_batch(
+    batch: jnp.ndarray, cfg: SiftConfig = SiftConfig()
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sequential map over an (N, H, W, 3) batch inside one jit.
+
+    ``lax.map`` (not vmap) keeps one image's intermediates live at a time —
+    the descriptor/orientation window buffers are the peak-memory term.
+    """
+    return jax.lax.map(lambda im: sift_extract(im, cfg), batch)
+
+
+@dataclasses.dataclass
+class KeyPointRecord:
+    """cv2.KeyPoint-compatible record for the API-parity surface."""
+
+    pt: Tuple[float, float]
+    size: float
+    angle: float
+    response: float
+    octave: int
+    class_id: int = -1
+
+
+def compute_keypoints_and_descriptors(
+    image: np.ndarray,
+    sigma: float = 1.6,
+    num_intervals: int = 3,
+    assumed_blur: float = 0.5,
+    image_border_width: int = 5,
+) -> Tuple[List[KeyPointRecord], np.ndarray]:
+    """Reference-signature entry point (sift_impl.py:15-39 parity).
+
+    Accepts a BGR uint8 or grayscale image; returns keypoint records
+    (cv2.KeyPoint-compatible fields) and an (N, 128) float32 descriptor
+    array, trimmed to the valid count.
+    """
+    cfg = SiftConfig(
+        sigma=sigma,
+        num_intervals=num_intervals,
+        assumed_blur=assumed_blur,
+        image_border_width=image_border_width,
+    )
+    kps_d, desc_d, _ = jax.jit(
+        sift_keypoints_and_descriptors, static_argnames=("cfg",)
+    )(jnp.asarray(image), cfg)
+    kps = jax.device_get(kps_d)
+    desc = np.asarray(jax.device_get(desc_d))
+    valid = np.asarray(kps.valid)
+    records = [
+        KeyPointRecord(
+            pt=(float(kps.x[i]), float(kps.y[i])),
+            size=float(kps.size[i]),
+            angle=float(kps.angle[i]),
+            response=float(kps.response[i]),
+            octave=int(kps.octave[i]),
+        )
+        for i in np.nonzero(valid)[0]
+    ]
+    return records, desc[valid]

@@ -1,0 +1,163 @@
+"""Orientation assignment (sift_impl.py:246-293 parity).
+
+Per localized candidate: a Gaussian-weighted 36-bin histogram of gradient
+directions over a data-dependent radius window, [1,4,6,4,1]/16 circular
+smoothing, and one keypoint per local peak >= 0.8*max with a parabolic
+sub-bin angle.  The reference's per-pixel double loop becomes a vmapped
+contiguous dynamic-slice window gather (capacity ``max_radius``, audited
+>= the datasets' max radius 17) + 36 masked reductions.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vfx_image_stitching_tpu.config import SiftConfig
+from vfx_image_stitching_tpu.models.sift.localize import Localized
+from vfx_image_stitching_tpu.models.sift.keypoints import Keypoints
+
+_INT_MIN = jnp.iinfo(jnp.int32).min
+
+
+def _pad_stack(stack: jnp.ndarray, min_h: int, min_w: int) -> jnp.ndarray:
+    """Zero-pad trailing dims so dynamic_slice windows always fit."""
+    h, w = stack.shape[-2:]
+    ph, pw = max(0, min_h - h), max(0, min_w - w)
+    if ph or pw:
+        cfg = [(0, 0)] * (stack.ndim - 2) + [(0, ph), (0, pw)]
+        stack = jnp.pad(stack, cfg)
+    return stack
+
+
+def _window_gather(
+    stack: jnp.ndarray, layer: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
+    half: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(K, S, S) windows centered near (cy, cx) plus their absolute coords.
+
+    Slice starts are clamped; masks must be built from the returned
+    absolute coordinates, not from the nominal center.
+    """
+    s = 2 * half + 1
+    stack = _pad_stack(stack, s, s)
+    hp, wp = stack.shape[-2:]
+    sy = jnp.clip(cy - half, 0, hp - s)
+    sx = jnp.clip(cx - half, 0, wp - s)
+
+    def one(l, yy, xx):
+        return jax.lax.dynamic_slice(stack, (l, yy, xx), (1, s, s))[0]
+
+    win = jax.vmap(one)(layer, sy, sx)
+    rows = sy[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+    cols = sx[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+    return win, rows, cols
+
+
+def _masked_histogram(
+    contrib: jnp.ndarray, bins: jnp.ndarray, num_bins: int
+) -> jnp.ndarray:
+    """(K, num_bins) histogram via unrolled masked reductions (VPU-friendly)."""
+    return jnp.stack(
+        [
+            jnp.sum(jnp.where(bins == b, contrib, 0.0), axis=-1)
+            for b in range(num_bins)
+        ],
+        axis=-1,
+    )
+
+
+def assign_orientations(
+    mag_stack: jnp.ndarray,
+    ang_stack: jnp.ndarray,
+    loc: Localized,
+    octave: int,
+    cfg: SiftConfig,
+) -> Keypoints:
+    """Emit up to ``max_orientations`` oriented keypoints per candidate.
+
+    Returns a Keypoints set of capacity K * max_orientations, ordered
+    (candidate-major, peak-bin ascending) to match the reference's
+    emission order.
+    """
+    caps = cfg.capacities
+    half = caps.max_radius
+    nb = cfg.num_bins
+    h, w = mag_stack.shape[-2:]
+
+    inv_scale_o = jnp.float32(2.0 ** -(octave))
+    scale = cfg.scale_factor * loc.size * jnp.float32(2.0 ** -(octave + 1))
+    radius = jnp.rint(cfg.radius_factor * scale).astype(jnp.int32)
+    weight_factor = -0.5 / (scale * scale)
+    cx = jnp.rint(loc.pt_x * inv_scale_o).astype(jnp.int32)
+    cy = jnp.rint(loc.pt_y * inv_scale_o).astype(jnp.int32)
+
+    magw, rows, cols = _window_gather(mag_stack, loc.layer, cy, cx, half)
+    angw, _, _ = _window_gather(ang_stack, loc.layer, cy, cx, half)
+
+    dy = rows - cy[:, None]           # (K, S)
+    dx = cols - cx[:, None]
+    in_radius = (
+        (jnp.abs(dy) <= radius[:, None])[:, :, None]
+        & (jnp.abs(dx) <= radius[:, None])[:, None, :]
+    )
+    in_bounds = (
+        ((rows >= 1) & (rows <= h - 2))[:, :, None]
+        & ((cols >= 1) & (cols <= w - 2))[:, None, :]
+    )
+    d2 = (dy * dy)[:, :, None] + (dx * dx)[:, None, :]
+    weight = jnp.exp(weight_factor[:, None, None] * d2.astype(jnp.float32))
+    contrib = jnp.where(in_radius & in_bounds, weight * magw, 0.0)
+    bins = jnp.mod(
+        jnp.rint(angw * (nb / 360.0)).astype(jnp.int32), nb
+    )
+    k = contrib.shape[0]
+    raw = _masked_histogram(contrib.reshape(k, -1), bins.reshape(k, -1), nb)
+
+    # circular [1,4,6,4,1]/16 smoothing (sift_impl.py:273-277)
+    smooth = (
+        6.0 * raw
+        + 4.0 * (jnp.roll(raw, 1, axis=-1) + jnp.roll(raw, -1, axis=-1))
+        + jnp.roll(raw, 2, axis=-1) + jnp.roll(raw, -2, axis=-1)
+    ) / 16.0
+    maxv = jnp.max(smooth, axis=-1, keepdims=True)
+    left = jnp.roll(smooth, 1, axis=-1)
+    right = jnp.roll(smooth, -1, axis=-1)
+    qualify = (
+        (smooth > left) & (smooth > right)
+        & (smooth >= cfg.peak_ratio * maxv)
+        & loc.valid[:, None]
+    )
+
+    # first max_orientations qualifying bins in ascending order
+    p_cap = caps.max_orientations
+    bin_ids = jnp.arange(nb, dtype=jnp.int32)[None, :]
+    sel_scores = jnp.where(qualify, -bin_ids, _INT_MIN)
+    top, _ = jax.lax.top_k(sel_scores, p_cap)
+    peak_valid = top > _INT_MIN
+    p = jnp.where(peak_valid, -top, 0)                      # (K, P)
+
+    rowsk = jnp.arange(k)[:, None]
+    s_p = smooth[rowsk, p]
+    s_l = smooth[rowsk, (p - 1) % nb]
+    s_r = smooth[rowsk, (p + 1) % nb]
+    denom = s_l - 2.0 * s_p + s_r
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    interp = jnp.mod(p.astype(jnp.float32) + 0.5 * (s_l - s_r) / denom, nb)
+    angle = 360.0 - interp * (360.0 / nb)
+    angle = jnp.where(jnp.abs(angle - 360.0) < cfg.float_tolerance, 0.0, angle)
+
+    def expand(f):
+        return jnp.broadcast_to(f[:, None], (k, p_cap)).reshape(-1)
+
+    return Keypoints(
+        x=expand(loc.pt_x),
+        y=expand(loc.pt_y),
+        size=expand(loc.size),
+        angle=angle.reshape(-1),
+        response=expand(loc.response),
+        octave=expand(loc.octave_packed),
+        valid=(peak_valid & loc.valid[:, None]).reshape(-1),
+    )
