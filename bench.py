@@ -53,12 +53,14 @@ def run(backend: str) -> dict:
     )
     try:
         import cv2
-        import numpy as np
+
+        from vfx_image_stitching_tpu.utils.metrics import aligned_rmse
 
         golden = cv2.imread(golden_path)
-        if golden is not None and golden.shape == res.panorama.shape:
-            d = res.panorama.astype(np.float64) - golden.astype(np.float64)
-            out["rmse_vs_golden"] = round(float(np.sqrt((d**2).mean())), 3)
+        if golden is not None:
+            rmse, off = aligned_rmse(res.panorama, golden)
+            out["rmse_vs_golden"] = round(rmse, 3)
+            out["golden_align_offset"] = list(off)
     except Exception:
         pass
     return out

@@ -1,0 +1,88 @@
+"""CLI, visualization (headless), and utility tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference, requires_cv2, REFERENCE_DIR, REPO_ROOT
+from vfx_image_stitching_tpu.utils.metrics import aligned_rmse
+from vfx_image_stitching_tpu.utils.profiling import PhaseTimer
+
+
+def test_aligned_rmse_identical():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    rmse, off = aligned_rmse(img, img)
+    assert rmse == 0.0 and off == (0, 0)
+
+
+def test_aligned_rmse_finds_shift():
+    rng = np.random.default_rng(1)
+    big = rng.integers(0, 256, (44, 64, 3), dtype=np.uint8)
+    a = big[2:42, 3:63]
+    b = big[0:40, 0:60]
+    rmse, off = aligned_rmse(a, b, max_offset=4)
+    assert rmse == 0.0
+    assert off == (-2, -3)
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    total = t.total()
+    assert set(t.phases) == {"a", "b", "total"}
+    assert total >= t.phases["a"]
+
+
+@requires_reference
+@requires_cv2
+def test_cli_harris_out(tmp_path):
+    out = tmp_path / "pano.jpg"
+    env = dict(os.environ)
+    # force a pure-CPU subprocess: drop any TPU-plugin sitecustomize dirs
+    # from PYTHONPATH and pin the platform
+    keep = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([REPO_ROOT] + keep)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "vfx_image_stitching_tpu.pipeline.cli",
+            os.path.join(REFERENCE_DIR, "out"),
+            "--backend", "harris", "--margin", "30", "--out", str(out),
+        ],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out.exists()
+
+
+@requires_reference
+@requires_cv2
+def test_headless_harris_demo(tmp_path):
+    from vfx_image_stitching_tpu.viz import render_harris_demo
+
+    out = render_harris_demo(
+        os.path.join(REFERENCE_DIR, "out", "out00.jpg"),
+        os.path.join(REFERENCE_DIR, "out", "out01.jpg"),
+        str(tmp_path / "demo.png"),
+    )
+    assert os.path.exists(out)
+
+
+def test_oracle_fixture_wellformed():
+    with open(os.path.join(REPO_ROOT, "tests", "data",
+                           "oracle_sift_shifts.json")) as f:
+        data = json.load(f)
+    assert set(data) == {"out", "parrington", "grail"}
+    assert len(data["parrington"]["shifts"]) == 17
+    assert len(data["grail"]["pairs"]) == 17

@@ -117,6 +117,9 @@ class MatchConfig:
     desc_thresh: float = 1.0
     ransac_thresh: float = 3.0    # squared-distance vote threshold
     lowe_ratio: Optional[float] = None
+    # top-k exact re-check width; 1 = trust the matmul distances (exact for
+    # integer-valued SIFT descriptors), >1 = refine (float Harris descs)
+    refine: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,8 +137,8 @@ class StitchConfig:
 
     def match(self) -> MatchConfig:
         if self.backend == "harris":
-            return MatchConfig(desc_thresh=1.0)
-        return MatchConfig(desc_thresh=25000.0)
+            return MatchConfig(desc_thresh=1.0, refine=8)
+        return MatchConfig(desc_thresh=25000.0, refine=1)
 
 
 DEFAULT_CROP_MARGINS = {

@@ -63,6 +63,21 @@ def match_descriptors(
     d2 = pairwise_sqdist(desc_a, desc_b)
     d2 = jnp.where(valid_b[None, :], d2, _BIG)
 
+    if refine <= 1:
+        # integer-descriptor fast path (SIFT): the matmul distances are
+        # exact (see module docstring), so a plain first-min argmin
+        # reproduces the reference bit-for-bit with no re-check.
+        best_dist = jnp.min(d2, axis=-1)
+        best_idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        matched = valid_a & (best_dist < desc_thresh) & (best_dist < _BIG)
+        if lowe_ratio is not None:
+            masked = jnp.where(
+                jnp.arange(d2.shape[1])[None, :] == best_idx[:, None], _BIG, d2
+            )
+            second = jnp.min(masked, axis=-1)
+            matched = matched & (best_dist < lowe_ratio * lowe_ratio * second)
+        return best_idx, matched
+
     refine = min(refine, desc_b.shape[0])
     # top `refine` candidates per row (smallest approximate distance)
     neg_top, cand_idx = jax.lax.top_k(-d2, refine)          # (K_A, refine)

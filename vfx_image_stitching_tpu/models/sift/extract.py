@@ -117,15 +117,19 @@ def sift_extract(
     return xy, desc, kps.valid
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mode"))
 def sift_batch(
-    batch: jnp.ndarray, cfg: SiftConfig = SiftConfig()
+    batch: jnp.ndarray, cfg: SiftConfig = SiftConfig(), mode: str = "map"
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Sequential map over an (N, H, W, 3) batch inside one jit.
+    """Batched SIFT over an (N, H, W, 3) batch inside one jit.
 
-    ``lax.map`` (not vmap) keeps one image's intermediates live at a time —
-    the descriptor/orientation window buffers are the peak-memory term.
+    ``mode="map"`` (lax.map) keeps one image's intermediates live at a
+    time — the descriptor/orientation window buffers are the peak-memory
+    term; ``mode="vmap"`` batches every stage across images for maximum
+    parallelism (higher peak memory).
     """
+    if mode == "vmap":
+        return jax.vmap(lambda im: sift_extract(im, cfg))(batch)
     return jax.lax.map(lambda im: sift_extract(im, cfg), batch)
 
 

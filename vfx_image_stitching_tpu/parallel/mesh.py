@@ -59,6 +59,7 @@ def _pairwise_shift_step(cyl: jnp.ndarray, cfg: StitchConfig):
             _pair_shift,
             desc_thresh=mcfg.desc_thresh,
             ransac_thresh=mcfg.ransac_thresh,
+            refine=mcfg.refine,
         )
     )
     return pair_fn(

@@ -50,14 +50,16 @@ class StitchResult:
     steps: Optional[List[np.ndarray]] = None
 
 
-@functools.partial(jax.jit, static_argnames=("desc_thresh", "ransac_thresh"))
+@functools.partial(
+    jax.jit, static_argnames=("desc_thresh", "ransac_thresh", "refine")
+)
 def _pair_shift(
     xy_a, desc_a, valid_a, xy_b, desc_b, valid_b,
-    desc_thresh: float, ransac_thresh: float,
+    desc_thresh: float, ransac_thresh: float, refine: int = 8,
 ):
     """Shift + winning pair for one adjacent image pair (fixed shape)."""
     best_b, matched = match_descriptors(
-        desc_a, valid_a, desc_b, valid_b, desc_thresh
+        desc_a, valid_a, desc_b, valid_b, desc_thresh, refine=refine
     )
     pts_a = xy_a.astype(jnp.float32)
     pts_b = xy_b[best_b].astype(jnp.float32)
@@ -86,13 +88,15 @@ def compute_pairwise_shifts(
     else:
         from vfx_image_stitching_tpu.models.sift import sift_batch
 
-        xy, descs, valid_kp = sift_batch(cyl, cfg.sift)
+        mode = os.environ.get("VFX_SIFT_BATCH_MODE", "map")
+        xy, descs, valid_kp = sift_batch(cyl, cfg.sift, mode)
 
     pair_fn = jax.vmap(
         functools.partial(
             _pair_shift,
             desc_thresh=mcfg.desc_thresh,
             ransac_thresh=mcfg.ransac_thresh,
+            refine=mcfg.refine,
         )
     )
     shifts_d, pa_d, pb_d, any_d, counts_d = pair_fn(

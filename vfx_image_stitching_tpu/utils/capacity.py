@@ -1,0 +1,55 @@
+"""Capacity auditing for the fixed-shape SIFT pipeline.
+
+The reference uses dynamic Python lists everywhere; the TPU pipeline uses
+fixed capacities with validity masks (SiftCapacities).  This utility runs
+the pipeline over a dataset and reports per-stage occupancy vs capacity,
+so capacity regressions (truncation) are caught before they silently
+drop keypoints.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vfx_image_stitching_tpu.config import SiftConfig
+
+
+def audit_sift_capacities(
+    images: List[np.ndarray], cfg: SiftConfig = SiftConfig()
+) -> Dict[str, np.ndarray]:
+    """Max per-stage occupancy across ``images``; asserts no truncation.
+
+    Returns {"cand_counts", "cand_caps", "oriented_counts",
+    "oriented_caps", "final_counts", "final_cap"} with counts maxed over
+    the dataset.
+    """
+    from vfx_image_stitching_tpu.models.sift.extract import (
+        sift_keypoints_and_descriptors,
+    )
+
+    fn = jax.jit(sift_keypoints_and_descriptors, static_argnames=("cfg",))
+    agg: Dict[str, np.ndarray] = {}
+    finals = []
+    for img in images:
+        _, _, stats = fn(jnp.asarray(img), cfg)
+        stats = {k: np.asarray(v) for k, v in jax.device_get(stats).items()}
+        finals.append(int(stats["final_count"]))
+        for key in ("cand_counts", "oriented_counts"):
+            agg[key] = np.maximum(agg[key], stats[key]) if key in agg else stats[key]
+        agg["cand_caps"] = stats["cand_caps"]
+        agg["oriented_caps"] = stats["oriented_caps"]
+    agg["final_counts"] = np.asarray(finals)
+    agg["final_cap"] = np.asarray(int(cfg.capacities.max_keypoints))
+
+    overflow = (
+        (agg["cand_counts"] >= agg["cand_caps"]).any()
+        or (agg["oriented_counts"] >= agg["oriented_caps"]).any()
+        or (agg["final_counts"] >= agg["final_cap"]).any()
+    )
+    if overflow:
+        raise RuntimeError(f"SIFT capacity overflow: {agg}")
+    return agg
