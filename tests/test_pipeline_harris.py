@@ -46,6 +46,30 @@ def test_out_harris_end_to_end():
 
 @requires_reference
 @requires_cv2
+def test_wind_single_image_dataset():
+    """wind/pano.txt drops wind02 (no focal) -> 1-image 'panorama'."""
+    import cv2
+
+    from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama
+    from vfx_image_stitching_tpu.utils.metrics import aligned_rmse
+
+    res = stitch_panorama(
+        os.path.join(REFERENCE_DIR, "wind"),
+        backend="harris",
+        crop_margin=24,
+        save_path=None,
+    )
+    assert res.shifts == []
+    golden = cv2.imread(
+        os.path.join(REFERENCE_DIR, "Result", "harris_wind_result.jpg")
+    )
+    assert res.panorama.shape == golden.shape == (386, 654, 3)
+    rmse, off = aligned_rmse(res.panorama, golden)
+    assert off == (0, 0) and rmse < 3.0
+
+
+@requires_reference
+@requires_cv2
 @pytest.mark.slow
 def test_parrington_harris_end_to_end_vs_golden():
     import cv2

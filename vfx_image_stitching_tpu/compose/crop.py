@@ -32,15 +32,19 @@ def _content_bounds(img: jnp.ndarray, black_threshold: jnp.ndarray):
     return y_min, y_max, x_min, x_max, jnp.any(rows)
 
 
-def rectangle_crop(
-    img: np.ndarray, black_threshold: int, extra_margin: int
-) -> np.ndarray:
-    """Crop to the content bounding box, shrunk by extra_margin in y."""
-    img = np.asarray(img)
-    h = img.shape[0]
-    y_min, y_max, x_min, x_max, any_content = jax.device_get(
-        _content_bounds(jnp.asarray(img), jnp.uint8(black_threshold))
+def crop_bounds(img_device, black_threshold: int):
+    """Device-side bounds of a (possibly device-resident) mosaic."""
+    return jax.device_get(
+        _content_bounds(jnp.asarray(img_device), jnp.uint8(black_threshold))
     )
+
+
+def apply_crop(
+    img: np.ndarray, bounds, extra_margin: int
+) -> np.ndarray:
+    """Host-side slice with the reference margin semantics."""
+    y_min, y_max, x_min, x_max, any_content = bounds
+    h = img.shape[0]
     if not bool(any_content):
         return img
     y_min = max(0, int(y_min) + extra_margin)
@@ -48,3 +52,17 @@ def rectangle_crop(
     if y_min > y_max or int(x_min) > int(x_max):
         return img
     return img[y_min : y_max + 1, int(x_min) : int(x_max) + 1]
+
+
+def rectangle_crop(
+    img, black_threshold: int, extra_margin: int, bounds=None
+) -> np.ndarray:
+    """Crop to the content bounding box, shrunk by extra_margin in y.
+
+    ``img`` may be a NumPy array or a device array; pass precomputed
+    ``bounds`` (from :func:`crop_bounds` on the device-resident mosaic) to
+    avoid re-uploading a host copy just for the reductions.
+    """
+    if bounds is None:
+        bounds = crop_bounds(img, black_threshold)
+    return apply_crop(np.asarray(img), bounds, extra_margin)

@@ -150,6 +150,11 @@ def plan_compose(
         t_y += _mv[0]
         t_x += _mv[1]
     steps.reverse()
+    if mh * mw > 500_000_000:
+        raise ValueError(
+            f"compositing plan produced an implausible {mh}x{mw} canvas — "
+            "pairwise shifts are likely garbage (no real matches?)"
+        )
     return ComposePlan(
         height=mh, width=mw, mosaic0_off_y=t_y, mosaic0_off_x=t_x, steps=steps
     )

@@ -113,12 +113,14 @@ def load_dataset(
     if pano_file is None:
         pano_file = os.path.join(folder, "pano.txt")
     img_paths, focals = read_pano_data(pano_file)
-    images: List[Optional[np.ndarray]] = []
-    resolved: List[str] = []
-    for p in img_paths:
-        full_p = resolve_image_path(p, folder)
-        resolved.append(full_p)
-        images.append(load_bgr(full_p))
+    resolved = [resolve_image_path(p, folder) for p in img_paths]
+    if len(resolved) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(resolved))) as pool:
+            images = list(pool.map(load_bgr, resolved))
+    else:
+        images = [load_bgr(p) for p in resolved]
     return images, focals, resolved
 
 

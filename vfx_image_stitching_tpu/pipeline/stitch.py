@@ -175,11 +175,16 @@ def stitch_panorama(
         mosaic_d, steps = out
     else:
         mosaic_d, steps = out, None
+    # bounds reductions run on the device-resident mosaic; only then is
+    # the mosaic pulled to the host once (transfers dominate on slow links)
+    from vfx_image_stitching_tpu.compose.crop import crop_bounds
+
+    bounds = crop_bounds(mosaic_d, cfg.black_threshold)
     mosaic = np.asarray(mosaic_d)
     t3 = time.time()
     timings["compose"] = t3 - t2
 
-    panorama = rectangle_crop(mosaic, cfg.black_threshold, margin)
+    panorama = rectangle_crop(mosaic, cfg.black_threshold, margin, bounds=bounds)
     t4 = time.time()
     timings["crop"] = t4 - t3
     timings["total"] = t4 - t0
