@@ -70,6 +70,20 @@ def test_wind_single_image_dataset():
 
 @requires_reference
 @requires_cv2
+def test_stitch_many_small_datasets():
+    from vfx_image_stitching_tpu.pipeline.multi import stitch_many
+
+    results = stitch_many(
+        [os.path.join(REFERENCE_DIR, "wind"), os.path.join(REFERENCE_DIR, "out")],
+        backend="harris",
+    )
+    assert set(results) == {"wind", "out"}
+    assert results["wind"].panorama.shape == (386, 654, 3)
+    assert results["out"].shifts == [OUT_SHIFT]
+
+
+@requires_reference
+@requires_cv2
 @pytest.mark.slow
 def test_parrington_harris_end_to_end_vs_golden():
     import cv2
