@@ -140,6 +140,7 @@ def test_descriptors_match_reference(ours, theirs):
 def test_no_capacity_overflow(ours):
     _, _, stats = ours
     assert (np.asarray(stats["cand_counts"]) < np.asarray(stats["cand_caps"])).all()
+    assert (np.asarray(stats["loc_counts"]) < np.asarray(stats["loc_caps"])).all()
     assert (
         np.asarray(stats["oriented_counts"]) < np.asarray(stats["oriented_caps"])
     ).all()

@@ -59,6 +59,10 @@ class SiftCapacities:
     # Descriptor sampling window half-width cap (sift_impl.py:386-387
     # half_width is data dependent; audit max is 41, p99 is 38).
     max_half_width: int = 48
+    # Post-localization compaction caps (before the window-heavy
+    # orientation stage); audit maxima of *localized* candidates: 989
+    # (octave 0), 321 (octave 1), 96 (octave 2).
+    max_localized: int = 1536
     # Per-octave descriptor-slot caps (post peak-expansion compaction);
     # audit maxima: 1202 (octave 0), 392 (octave 1), 116 (octave 2).
     max_oriented: int = 3072
@@ -73,6 +77,11 @@ class SiftCapacities:
     def scaled_oriented(self, octave: int) -> int:
         """Oriented-keypoint capacity per octave (shrinks with area)."""
         c = self.max_oriented >> (2 * octave)
+        return max(128, c)
+
+    def scaled_localized(self, octave: int) -> int:
+        """Localized-candidate capacity per octave (shrinks with area)."""
+        c = self.max_localized >> (2 * octave)
         return max(128, c)
 
 

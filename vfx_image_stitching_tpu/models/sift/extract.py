@@ -31,7 +31,10 @@ from vfx_image_stitching_tpu.models.sift.extrema import (
     extrema_threshold,
     extract_candidates,
 )
-from vfx_image_stitching_tpu.models.sift.localize import localize_candidates
+from vfx_image_stitching_tpu.models.sift.localize import (
+    localize_candidates,
+    compact_localized,
+)
 from vfx_image_stitching_tpu.models.sift.orientation import assign_orientations
 from vfx_image_stitching_tpu.models.sift.descriptor import (
     compute_descriptors_chunked,
@@ -72,6 +75,7 @@ def sift_keypoints_and_descriptors(
     per_kps: List[Keypoints] = []
     per_desc: List[jnp.ndarray] = []
     cand_counts, oriented_counts, cand_caps, oriented_caps = [], [], [], []
+    loc_counts, loc_caps = [], []
     for o in range(num_octaves):
         dog = dogs[o]
         h_o, w_o = dog.shape[-2:]
@@ -80,6 +84,10 @@ def sift_keypoints_and_descriptors(
             dog, cfg.image_border_width, thresh, cand_cap
         )
         loc = localize_candidates(dog, layer, y, x, cand_valid, o, cfg)
+        loc_cap = min(caps.scaled_localized(o), cand_cap)
+        loc_counts.append(jnp.sum(loc.valid))
+        loc_caps.append(loc_cap)
+        loc = compact_localized(loc, loc_cap)
         mag, ang = gradient_fields(pyramid[o])
         kps = assign_orientations(mag, ang, loc, o, cfg)
         o_cap = caps.scaled_oriented(o)
@@ -99,6 +107,8 @@ def sift_keypoints_and_descriptors(
     stats = {
         "cand_counts": jnp.stack(cand_counts),
         "cand_caps": jnp.asarray(cand_caps),
+        "loc_counts": jnp.stack(loc_counts),
+        "loc_caps": jnp.asarray(loc_caps),
         "oriented_counts": jnp.stack(oriented_counts),
         "oriented_caps": jnp.asarray(oriented_caps),
         "final_count": kps.count(),

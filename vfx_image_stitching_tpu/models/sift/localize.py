@@ -10,15 +10,21 @@ including its quirks:
   * contrast then 2x2-Hessian edge tests on the stored state;
   * ``kp.octave`` packs octave + layer<<8 + round((offset+0.5)*255)<<16.
 
-The reference solves with ``np.linalg.lstsq``; the batched device version
-uses a closed-form adjugate solve (the Hessian is essentially never
-singular at an extremum; a zero-determinant candidate gets update=0 and
-dies in the contrast test — a measured-immaterial deviation).
+TPU layout: everything is a *transposed* structure-of-arrays — the cube
+is (27, K), gradients/Hessian entries are separate (K,) lanes — because
+arrays with tiny trailing dims like (K, 3, 3) pad the last dimension to
+the 128-lane register width and waste ~40x of the VPU.  The cube gather
+is one flat (27*K,) gather from the flattened DoG stack.
+
+The reference solves with ``np.linalg.lstsq``; here a closed-form
+adjugate solve (the Hessian is essentially never singular at an extremum;
+a zero-determinant candidate gets update=0 and dies in the contrast test
+— a measured-immaterial deviation).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +36,6 @@ class Localized(NamedTuple):
     x: jnp.ndarray          # i32 final column
     y: jnp.ndarray          # i32 final row
     layer: jnp.ndarray      # i32 final layer in [1, num_intervals]
-    update: jnp.ndarray     # (K, 3) f32 final Newton step
     pt_x: jnp.ndarray       # f32 keypoint coords at base-image scale
     pt_y: jnp.ndarray
     size: jnp.ndarray       # f32
@@ -39,57 +44,61 @@ class Localized(NamedTuple):
     valid: jnp.ndarray      # bool
 
 
-def _gradient(cube: jnp.ndarray) -> jnp.ndarray:
-    """Central differences on a (..., 3, 3, 3) cube (sift_impl.py:217-224)."""
-    dx = 0.5 * (cube[..., 1, 1, 2] - cube[..., 1, 1, 0])
-    dy = 0.5 * (cube[..., 1, 2, 1] - cube[..., 1, 0, 1])
-    ds = 0.5 * (cube[..., 2, 1, 1] - cube[..., 0, 1, 1])
-    return jnp.stack([dx, dy, ds], axis=-1)
+def _cube_gather(dog_flat: jnp.ndarray, offsets: jnp.ndarray,
+                 l: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray,
+                 w: int, hw: int) -> jnp.ndarray:
+    """(27, K) cube around (l, y, x) from the flattened (5*H*W,) DoG."""
+    center = l * hw + y * w + x            # (K,)
+    idx = center[None, :] + offsets[:, None]
+    return dog_flat[idx]                    # (27, K)
 
 
-def _hessian(cube: jnp.ndarray) -> jnp.ndarray:
-    """3x3 Hessian (sift_impl.py:227-240)."""
-    v = cube[..., 1, 1, 1]
-    dxx = cube[..., 1, 1, 2] - 2 * v + cube[..., 1, 1, 0]
-    dyy = cube[..., 1, 2, 1] - 2 * v + cube[..., 1, 0, 1]
-    dss = cube[..., 2, 1, 1] - 2 * v + cube[..., 0, 1, 1]
-    dxy = 0.25 * (cube[..., 1, 2, 2] - cube[..., 1, 2, 0]
-                  - cube[..., 1, 0, 2] + cube[..., 1, 0, 0])
-    dxs = 0.25 * (cube[..., 2, 1, 2] - cube[..., 2, 1, 0]
-                  - cube[..., 0, 1, 2] + cube[..., 0, 1, 0])
-    dys = 0.25 * (cube[..., 2, 2, 1] - cube[..., 2, 0, 1]
-                  - cube[..., 0, 2, 1] + cube[..., 0, 0, 1])
-    row0 = jnp.stack([dxx, dxy, dxs], axis=-1)
-    row1 = jnp.stack([dxy, dyy, dys], axis=-1)
-    row2 = jnp.stack([dxs, dys, dss], axis=-1)
-    return jnp.stack([row0, row1, row2], axis=-2)
+def _derivatives(cube: jnp.ndarray):
+    """Gradient (3 lanes) and Hessian (6 unique lanes) from a (27, K) cube.
+
+    Cube index order is (dl, dy, dx) row-major: flat = (dl+1)*9 + (dy+1)*3
+    + (dx+1).  Central differences per sift_impl.py:217-240.
+    """
+    def c(dl, dy, dx):
+        return cube[(dl + 1) * 9 + (dy + 1) * 3 + (dx + 1)]
+
+    gx = 0.5 * (c(0, 0, 1) - c(0, 0, -1))
+    gy = 0.5 * (c(0, 1, 0) - c(0, -1, 0))
+    gs = 0.5 * (c(1, 0, 0) - c(-1, 0, 0))
+    v = c(0, 0, 0)
+    dxx = c(0, 0, 1) - 2 * v + c(0, 0, -1)
+    dyy = c(0, 1, 0) - 2 * v + c(0, -1, 0)
+    dss = c(1, 0, 0) - 2 * v + c(-1, 0, 0)
+    dxy = 0.25 * (c(0, 1, 1) - c(0, 1, -1) - c(0, -1, 1) + c(0, -1, -1))
+    dxs = 0.25 * (c(1, 0, 1) - c(1, 0, -1) - c(-1, 0, 1) + c(-1, 0, -1))
+    dys = 0.25 * (c(1, 1, 0) - c(1, -1, 0) - c(-1, 1, 0) + c(-1, -1, 0))
+    return (gx, gy, gs), (dxx, dyy, dss, dxy, dxs, dys), v
 
 
-def _solve3(hess: jnp.ndarray, grad: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form 3x3 solve via adjugate; zero update if singular."""
-    a = hess
-    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
-    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
-    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
-    det = a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
-    adj = jnp.stack(
-        [
-            jnp.stack([c00,
-                       a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2],
-                       a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]], -1),
-            jnp.stack([c01,
-                       a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0],
-                       a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]], -1),
-            jnp.stack([c02,
-                       a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1],
-                       a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]], -1),
-        ],
-        axis=-2,
-    )
-    sol = jnp.einsum("...ij,...j->...i", adj, grad)
-    safe_det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-    return jnp.where(
-        (jnp.abs(det) > 1e-30)[..., None], sol / safe_det[..., None], 0.0
+def _solve3(h, g):
+    """Closed-form symmetric 3x3 solve, all-lane arithmetic.
+
+    H = [[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]]; returns
+    ``-H^-1 g`` (the Newton update) and the determinant.
+    """
+    (dxx, dyy, dss, dxy, dxs, dys) = h
+    (gx, gy, gs) = g
+    c00 = dyy * dss - dys * dys
+    c01 = dys * dxs - dxy * dss
+    c02 = dxy * dys - dyy * dxs
+    det = dxx * c00 + dxy * c01 + dxs * c02
+    c11 = dxx * dss - dxs * dxs
+    c12 = dxy * dxs - dxx * dys
+    c22 = dxx * dyy - dxy * dxy
+    ux = c00 * gx + c01 * gy + c02 * gs
+    uy = c01 * gx + c11 * gy + c12 * gs
+    us = c02 * gx + c12 * gy + c22 * gs
+    ok = jnp.abs(det) > 1e-30
+    safe = jnp.where(ok, det, 1.0)
+    return (
+        jnp.where(ok, -ux / safe, 0.0),
+        jnp.where(ok, -uy / safe, 0.0),
+        jnp.where(ok, -us / safe, 0.0),
     )
 
 
@@ -104,85 +113,119 @@ def localize_candidates(
 ) -> Localized:
     """Run the masked Newton loop for all candidates of one octave."""
     h, w = dog.shape[-2:]
+    hw = h * w
     border = cfg.image_border_width
     k = layer.shape[0]
+    dog_flat = dog.reshape(-1)
 
-    def gather_cube(l, yy, xx):
-        return jax.lax.dynamic_slice(dog, (l - 1, yy - 1, xx - 1), (3, 3, 3))
+    import numpy as np
 
-    gather = jax.vmap(gather_cube)
+    offs = np.array(
+        [dl * hw + dy * w + dx
+         for dl in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        dtype=np.int32,
+    )
+    offsets = jnp.asarray(offs)
+
+    zeros = jnp.zeros((k,), jnp.float32)
+    state = dict(
+        x=x, y=y, l=layer,
+        ux=zeros, uy=zeros, us=zeros,
+        gx=zeros, gy=zeros, gs=zeros,
+        dxx=zeros, dyy=zeros, dss=zeros, dxy=zeros, dxs=zeros, dys=zeros,
+        center=zeros,
+        converged=jnp.zeros((k,), bool),
+        rejected=jnp.zeros((k,), bool),
+    )
 
     def body(_t, st):
-        (xs, ys, ls, cube, grad, update, hess, converged, rejected) = st
-        active = ~(converged | rejected)
-        new_cube = gather(ls, ys, xs).astype(jnp.float32) / 255.0
-        new_grad = _gradient(new_cube)
-        new_hess = _hessian(new_cube)
-        new_update = -_solve3(new_hess, new_grad)
+        active = ~(st["converged"] | st["rejected"])
+        cube = _cube_gather(dog_flat, offsets, st["l"], st["y"], st["x"], w, hw)
+        cube = cube.astype(jnp.float32) / 255.0
+        (gx, gy, gs), hess, center = _derivatives(cube)
+        ux, uy, us = _solve3(hess, (gx, gy, gs))
+        (dxx, dyy, dss, dxy, dxs, dys) = hess
 
-        cube = jnp.where(active[:, None, None, None], new_cube, cube)
-        grad = jnp.where(active[:, None], new_grad, grad)
-        hess = jnp.where(active[:, None, None], new_hess, hess)
-        update = jnp.where(active[:, None], new_update, update)
+        def keep(new, old):
+            return jnp.where(active, new, old)
 
-        conv_now = jnp.all(jnp.abs(new_update) < 0.5, axis=-1)
-        converged = converged | (active & conv_now)
+        out = dict(st)
+        for name, new in [
+            ("ux", ux), ("uy", uy), ("us", us),
+            ("gx", gx), ("gy", gy), ("gs", gs),
+            ("dxx", dxx), ("dyy", dyy), ("dss", dss),
+            ("dxy", dxy), ("dxs", dxs), ("dys", dys),
+            ("center", center),
+        ]:
+            out[name] = keep(new, st[name])
 
-        move = jnp.rint(new_update).astype(jnp.int32)
+        conv_now = (
+            (jnp.abs(ux) < 0.5) & (jnp.abs(uy) < 0.5) & (jnp.abs(us) < 0.5)
+        )
+        out["converged"] = st["converged"] | (active & conv_now)
+
         moving = active & ~conv_now
-        nx = xs + move[:, 0]
-        ny = ys + move[:, 1]
-        nl = ls + move[:, 2]
+        nx = st["x"] + jnp.rint(ux).astype(jnp.int32)
+        ny = st["y"] + jnp.rint(uy).astype(jnp.int32)
+        nl = st["l"] + jnp.rint(us).astype(jnp.int32)
         oob = (
             (ny < border) | (ny >= h - border)
             | (nx < border) | (nx >= w - border)
             | (nl < 1) | (nl > cfg.num_intervals)
         )
-        rejected = rejected | (moving & oob)
-        # clip so later (ignored) gathers stay in range
-        xs = jnp.where(moving, jnp.clip(nx, 1, w - 2), xs)
-        ys = jnp.where(moving, jnp.clip(ny, 1, h - 2), ys)
-        ls = jnp.where(moving, jnp.clip(nl, 1, cfg.num_intervals), ls)
-        return (xs, ys, ls, cube, grad, update, hess, converged, rejected)
+        out["rejected"] = st["rejected"] | (moving & oob)
+        out["x"] = jnp.where(moving, jnp.clip(nx, 1, w - 2), st["x"])
+        out["y"] = jnp.where(moving, jnp.clip(ny, 1, h - 2), st["y"])
+        out["l"] = jnp.where(moving, jnp.clip(nl, 1, cfg.num_intervals), st["l"])
+        return out
 
-    st = (
-        x, y, layer,
-        jnp.zeros((k, 3, 3, 3), jnp.float32),
-        jnp.zeros((k, 3), jnp.float32),
-        jnp.zeros((k, 3), jnp.float32),
-        jnp.zeros((k, 3, 3), jnp.float32),
-        jnp.zeros((k,), bool),
-        jnp.zeros((k,), bool),
-    )
-    xs, ys, ls, cube, grad, update, hess, converged, rejected = (
-        jax.lax.fori_loop(0, cfg.max_localize_iters, body, st)
-    )
+    st = jax.lax.fori_loop(0, cfg.max_localize_iters, body, state)
 
-    val = cube[:, 1, 1, 1] + 0.5 * jnp.einsum("ki,ki->k", grad, update)
+    val = st["center"] + 0.5 * (
+        st["gx"] * st["ux"] + st["gy"] * st["uy"] + st["gs"] * st["us"]
+    )
     contrast_ok = jnp.abs(val) * cfg.num_intervals >= cfg.contrast_threshold
 
-    h2_tr = hess[:, 0, 0] + hess[:, 1, 1]
-    h2_det = hess[:, 0, 0] * hess[:, 1, 1] - hess[:, 0, 1] * hess[:, 1, 0]
+    tr = st["dxx"] + st["dyy"]
+    det2 = st["dxx"] * st["dyy"] - st["dxy"] * st["dxy"]
     er = cfg.eigen_ratio
-    edge_ok = (h2_det > 0) & (er * h2_tr * h2_tr < ((er + 1.0) ** 2) * h2_det)
+    edge_ok = (det2 > 0) & (er * tr * tr < ((er + 1.0) ** 2) * det2)
 
-    valid = cand_valid & ~rejected & contrast_ok & edge_ok
+    valid = cand_valid & ~st["rejected"] & contrast_ok & edge_ok
 
+    xs, ys, ls = st["x"], st["y"], st["l"]
     scale_o = jnp.float32(2.0**octave)
-    pt_x = (xs.astype(jnp.float32) + update[:, 0]) * scale_o
-    pt_y = (ys.astype(jnp.float32) + update[:, 1]) * scale_o
+    pt_x = (xs.astype(jnp.float32) + st["ux"]) * scale_o
+    pt_y = (ys.astype(jnp.float32) + st["uy"]) * scale_o
     octave_packed = (
         octave
         + ls * 256
-        + jnp.rint((update[:, 2] + 0.5) * 255.0).astype(jnp.int32) * 65536
+        + jnp.rint((st["us"] + 0.5) * 255.0).astype(jnp.int32) * 65536
     ).astype(jnp.int32)
     size = (
         cfg.sigma
-        * jnp.exp2((ls.astype(jnp.float32) + update[:, 2]) / cfg.num_intervals)
+        * jnp.exp2((ls.astype(jnp.float32) + st["us"]) / cfg.num_intervals)
         * (2.0 ** (octave + 1))
     )
     return Localized(
-        x=xs, y=ys, layer=ls, update=update,
+        x=xs, y=ys, layer=ls,
         pt_x=pt_x, pt_y=pt_y, size=size,
         response=jnp.abs(val), octave_packed=octave_packed, valid=valid,
     )
+
+
+def compact_localized(loc: Localized, out_capacity: int) -> Localized:
+    """Keep valid candidates (original order) in ``out_capacity`` slots.
+
+    The raw candidate capacity is sized for the worst-case *extrema*
+    count, but only a fraction survives localization; compacting before
+    the window-heavy orientation/descriptor stages cuts their work
+    proportionally.  Relative order of valid rows is preserved, so the
+    downstream tie-break order matches the reference.
+    """
+    k = loc.x.shape[0]
+    rank = jnp.where(loc.valid, jnp.arange(k, dtype=jnp.int32),
+                     jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(rank)[:out_capacity]
+    out = Localized(*[f[order] for f in loc])
+    return out._replace(valid=loc.valid[order])
