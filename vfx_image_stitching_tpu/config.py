@@ -42,16 +42,23 @@ class SiftCapacities:
     audit utility lives in :mod:`vfx_image_stitching_tpu.utils.capacity`.
     """
 
-    # Per-octave cap on raw 26-neighbor extrema candidates.  Audit maxima
-    # on the reference datasets: 1663 (octave 0), 565 (octave 1), 151
-    # (octave 2), rapidly shrinking after.
-    max_candidates: int = 4096
+    # Per-octave capacity tables (index = octave, last entry repeats).
+    # Sized from a full audit over every image of the four reference
+    # datasets (utils/capacity.py) with >= 1.35x headroom; per-dataset
+    # measured maxima are in the comments.
+    #
+    # raw 26-neighbor extrema candidates  (audit: 2435 / 738 / 211 / 67)
+    candidate_caps: Tuple[int, ...] = (4096, 1024, 384, 160, 128)
+    # surviving localized candidates      (audit: 1478 / 430 / 122 / 50)
+    localized_caps: Tuple[int, ...] = (2048, 640, 224, 128)
+    # oriented keypoints (peak expansion) (audit: 1790 / 466 / 154 / 67)
+    oriented_caps: Tuple[int, ...] = (3072, 768, 256, 128)
     # Orientation peaks emitted per localized candidate
     # (sift_impl.py:280-292 can emit several; audit max is 5).
     max_orientations: int = 8
     # Final per-image keypoint capacity after dedup/compaction (matching
     # operates on (max_keypoints, 128) descriptor blocks).  Audit max
-    # total keypoints/image is ~1800.
+    # total keypoints/image is ~1900.
     max_keypoints: int = 3072
     # Orientation histogram window half-radius cap (sift_impl.py:254 radius
     # is data dependent; audit max is 17).
@@ -59,30 +66,24 @@ class SiftCapacities:
     # Descriptor sampling window half-width cap (sift_impl.py:386-387
     # half_width is data dependent; audit max is 41, p99 is 38).
     max_half_width: int = 48
-    # Post-localization compaction caps (before the window-heavy
-    # orientation stage); audit maxima of *localized* candidates: 989
-    # (octave 0), 321 (octave 1), 96 (octave 2).
-    max_localized: int = 1536
-    # Per-octave descriptor-slot caps (post peak-expansion compaction);
-    # audit maxima: 1202 (octave 0), 392 (octave 1), 116 (octave 2).
-    max_oriented: int = 3072
     # GEMM chunk for the descriptor one-hot contraction (memory knob).
     desc_chunk: int = 64
 
+    @staticmethod
+    def _table(table: Tuple[int, ...], octave: int) -> int:
+        return table[min(octave, len(table) - 1)]
+
     def scaled_candidates(self, octave: int) -> int:
         """Candidate capacity for a given octave (shrinks with area)."""
-        c = self.max_candidates >> (2 * octave)
-        return max(128, c)
+        return self._table(self.candidate_caps, octave)
 
     def scaled_oriented(self, octave: int) -> int:
         """Oriented-keypoint capacity per octave (shrinks with area)."""
-        c = self.max_oriented >> (2 * octave)
-        return max(128, c)
+        return self._table(self.oriented_caps, octave)
 
     def scaled_localized(self, octave: int) -> int:
         """Localized-candidate capacity per octave (shrinks with area)."""
-        c = self.max_localized >> (2 * octave)
-        return max(128, c)
+        return self._table(self.localized_caps, octave)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +109,10 @@ class SiftConfig:
     descriptor_max_value: float = 0.2
     float_tolerance: float = 1e-7
     capacities: SiftCapacities = SiftCapacities()
+    # Pallas kernels for the orientation/descriptor window histograms
+    # (per-keypoint DMA windows + on-chip reduction); the XLA path is the
+    # reference fallback and what CPU tests exercise.
+    use_pallas: bool = False
 
     @property
     def images_per_octave(self) -> int:

@@ -37,6 +37,12 @@ from vfx_image_stitching_tpu.models.sift.extract import (
     sift_extract,
     sift_batch,
 )
+from vfx_image_stitching_tpu.models.sift.stages import (
+    generate_DoG_images,
+    find_scale_space_extrema,
+    generate_descriptors,
+    is_pixel_an_extremum,
+)
 
 __all__ = [
     "generate_base_image",
@@ -51,4 +57,8 @@ __all__ = [
     "compute_keypoints_and_descriptors",
     "sift_extract",
     "sift_batch",
+    "generate_DoG_images",
+    "find_scale_space_extrema",
+    "generate_descriptors",
+    "is_pixel_an_extremum",
 ]

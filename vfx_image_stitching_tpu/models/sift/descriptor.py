@@ -36,6 +36,69 @@ def _two_hot(idx: jnp.ndarray, frac_lo: jnp.ndarray, frac_hi: jnp.ndarray,
     return lo + hi
 
 
+def _finalize(vec: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """Clip at 0.2*|v|, renormalize, round(512 v) clamped to [0, 255]."""
+    norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    thr = norm * cfg.descriptor_max_value
+    vec = jnp.minimum(vec, thr)
+    norm2 = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    norm2 = jnp.maximum(norm2, cfg.float_tolerance)
+    vec = vec / norm2
+    return jnp.clip(jnp.rint(512.0 * vec), 0.0, 255.0).astype(jnp.float32)
+
+
+def _window_params(kps: Keypoints, cfg: SiftConfig, rows_dim: int, cols_dim: int):
+    """Per-keypoint descriptor window geometry (sift_impl.py:370-387)."""
+    octv, layer, scl = unpack_octave(kps.octave)
+    pt_x = jnp.rint(scl * kps.x).astype(jnp.int32)
+    pt_y = jnp.rint(scl * kps.y).astype(jnp.int32)
+    angle = 360.0 - kps.angle
+    rad = jnp.deg2rad(angle)
+    hist_width = cfg.scale_multiplier * 0.5 * scl * kps.size
+    ww = cfg.window_width
+    half_w = jnp.rint(
+        hist_width * (math.sqrt(2) * (ww + 1) * 0.5)
+    ).astype(jnp.int32)
+    diag = int(math.sqrt(rows_dim**2 + cols_dim**2))
+    half_w = jnp.minimum(half_w, diag)
+    half_w = jnp.minimum(half_w, cfg.capacities.max_half_width)
+    return layer, pt_x, pt_y, angle, jnp.cos(rad), jnp.sin(rad), hist_width, half_w
+
+
+def compute_descriptors_pallas(
+    mag_stack: jnp.ndarray,
+    ang_stack: jnp.ndarray,
+    kps: Keypoints,
+    octave: int,
+    cfg: SiftConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas-kernel path: per-keypoint DMA windows, on-chip histograms."""
+    from vfx_image_stitching_tpu.models.sift.pallas_kernels import (
+        descriptor_histograms,
+    )
+    from vfx_image_stitching_tpu.models.sift.orientation import _pad_stack
+
+    rows_dim, cols_dim = mag_stack.shape[-2:]
+    layer, pt_x, pt_y, angle, cos_a, sin_a, hist_width, half_w = _window_params(
+        kps, cfg, rows_dim, cols_dim
+    )
+    half_cap = cfg.capacities.max_half_width
+    s = 2 * half_cap + 1
+    magp = _pad_stack(mag_stack, s, s)
+    angp = _pad_stack(ang_stack, s, s)
+    hp, wp = magp.shape[-2:]
+    sy = jnp.clip(pt_y - half_cap, 0, hp - s)
+    sx = jnp.clip(pt_x - half_cap, 0, wp - s)
+    vec = descriptor_histograms(
+        magp, angp, layer, sy, sx, pt_y, pt_x, half_w,
+        cos_a, sin_a, hist_width, angle, kps.valid,
+        s, rows_dim, cols_dim, cfg.desc_bins, cfg.window_width,
+        interpret=interpret,
+    )
+    return _finalize(vec, cfg)
+
+
 def compute_descriptors(
     mag_stack: jnp.ndarray,
     ang_stack: jnp.ndarray,
@@ -134,15 +197,7 @@ def compute_descriptors(
     )                                                # (K, 36, 8)
     tensor = tensor.reshape(k, ww + 2, ww + 2, nb)[:, 1:-1, 1:-1, :]
     vec = tensor.reshape(k, ww * ww * nb)
-
-    norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
-    thr = norm * cfg.descriptor_max_value
-    vec = jnp.minimum(vec, thr)
-    norm2 = jnp.linalg.norm(vec, axis=-1, keepdims=True)
-    norm2 = jnp.maximum(norm2, cfg.float_tolerance)
-    vec = vec / norm2
-    vec = jnp.clip(jnp.rint(512.0 * vec), 0.0, 255.0)
-    return vec.astype(jnp.float32)
+    return _finalize(vec, cfg)
 
 
 def compute_descriptors_chunked(
@@ -152,7 +207,10 @@ def compute_descriptors_chunked(
     octave: int,
     cfg: SiftConfig,
 ) -> jnp.ndarray:
-    """Chunk keypoints to bound the (chunk, S^2, 36) intermediate."""
+    """Descriptor dispatch: Pallas kernel or chunked one-hot GEMM."""
+    if cfg.use_pallas:
+        return compute_descriptors_pallas(mag_stack, ang_stack, kps, octave, cfg)
+
     k = kps.capacity
     chunk = min(cfg.capacities.desc_chunk, k)
     if k % chunk != 0:

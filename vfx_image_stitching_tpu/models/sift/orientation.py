@@ -93,28 +93,44 @@ def assign_orientations(
     weight_factor = -0.5 / (scale * scale)
     cx = jnp.rint(loc.pt_x * inv_scale_o).astype(jnp.int32)
     cy = jnp.rint(loc.pt_y * inv_scale_o).astype(jnp.int32)
+    k = loc.x.shape[0]
 
-    magw, rows, cols = _window_gather(mag_stack, loc.layer, cy, cx, half)
-    angw, _, _ = _window_gather(ang_stack, loc.layer, cy, cx, half)
+    if cfg.use_pallas:
+        from vfx_image_stitching_tpu.models.sift.pallas_kernels import (
+            orientation_histograms,
+        )
 
-    dy = rows - cy[:, None]           # (K, S)
-    dx = cols - cx[:, None]
-    in_radius = (
-        (jnp.abs(dy) <= radius[:, None])[:, :, None]
-        & (jnp.abs(dx) <= radius[:, None])[:, None, :]
-    )
-    in_bounds = (
-        ((rows >= 1) & (rows <= h - 2))[:, :, None]
-        & ((cols >= 1) & (cols <= w - 2))[:, None, :]
-    )
-    d2 = (dy * dy)[:, :, None] + (dx * dx)[:, None, :]
-    weight = jnp.exp(weight_factor[:, None, None] * d2.astype(jnp.float32))
-    contrib = jnp.where(in_radius & in_bounds, weight * magw, 0.0)
-    bins = jnp.mod(
-        jnp.rint(angw * (nb / 360.0)).astype(jnp.int32), nb
-    )
-    k = contrib.shape[0]
-    raw = _masked_histogram(contrib.reshape(k, -1), bins.reshape(k, -1), nb)
+        s = 2 * half + 1
+        magp = _pad_stack(mag_stack, s, s)
+        angp = _pad_stack(ang_stack, s, s)
+        hp, wp = magp.shape[-2:]
+        sy = jnp.clip(cy - half, 0, hp - s)
+        sx = jnp.clip(cx - half, 0, wp - s)
+        raw = orientation_histograms(
+            magp, angp, loc.layer, sy, sx, cy, cx, radius, weight_factor,
+            loc.valid, s, h, w, nb,
+        )
+    else:
+        magw, rows, cols = _window_gather(mag_stack, loc.layer, cy, cx, half)
+        angw, _, _ = _window_gather(ang_stack, loc.layer, cy, cx, half)
+
+        dy = rows - cy[:, None]           # (K, S)
+        dx = cols - cx[:, None]
+        in_radius = (
+            (jnp.abs(dy) <= radius[:, None])[:, :, None]
+            & (jnp.abs(dx) <= radius[:, None])[:, None, :]
+        )
+        in_bounds = (
+            ((rows >= 1) & (rows <= h - 2))[:, :, None]
+            & ((cols >= 1) & (cols <= w - 2))[:, None, :]
+        )
+        d2 = (dy * dy)[:, :, None] + (dx * dx)[:, None, :]
+        weight = jnp.exp(weight_factor[:, None, None] * d2.astype(jnp.float32))
+        contrib = jnp.where(in_radius & in_bounds, weight * magw, 0.0)
+        bins = jnp.mod(
+            jnp.rint(angw * (nb / 360.0)).astype(jnp.int32), nb
+        )
+        raw = _masked_histogram(contrib.reshape(k, -1), bins.reshape(k, -1), nb)
 
     # circular [1,4,6,4,1]/16 smoothing (sift_impl.py:273-277)
     smooth = (
