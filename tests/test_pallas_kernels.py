@@ -1,42 +1,33 @@
-"""Pallas window-histogram kernels vs NumPy oracles (interpret mode)."""
+"""Pallas orientation-histogram kernel vs a NumPy oracle (interpret mode)."""
 
 import numpy as np
 import jax.numpy as jnp
 
 from vfx_image_stitching_tpu.models.sift.pallas_kernels import (
     orientation_histograms,
-    descriptor_histograms,
 )
-
-
-def _stacks(rng, h, w):
-    mag = rng.random((6, h, w)).astype(np.float32) * 100
-    ang = rng.random((6, h, w)).astype(np.float32) * 360
-    return mag, ang
 
 
 def test_orientation_histograms_vs_oracle():
     rng = np.random.default_rng(0)
-    h = w = 40
-    s = 2 * 9 + 1
-    mag, ang = _stacks(rng, h, w)
-    k = 5
+    h, w = 150, 170
+    half = 20
+    mag = rng.random((6, h, w)).astype(np.float32) * 100
+    ang = rng.random((6, h, w)).astype(np.float32) * 360
+    k = 11  # odd on purpose: exercises the pad-to-8 path
     layer = rng.integers(0, 6, k)
-    cy = rng.integers(3, h - 3, k)
-    cx = rng.integers(3, w - 3, k)
-    radius = rng.integers(2, 9, k)
-    wf = -0.5 / (rng.random(k).astype(np.float32) * 4 + 1) ** 2
-    valid = np.array([True, True, False, True, True])
-    sy = np.clip(cy - 9, 0, h - s)
-    sx = np.clip(cx - 9, 0, w - s)
+    cy = rng.integers(-5, h + 5, k)   # includes out-of-image centers
+    cx = rng.integers(-5, w + 5, k)
+    radius = rng.integers(2, half + 1, k)
+    wf = (-0.5 / (rng.random(k).astype(np.float32) * 4 + 1) ** 2).astype(np.float32)
+    valid = rng.random(k) > 0.2
 
     out = np.asarray(
         orientation_histograms(
             jnp.asarray(mag), jnp.asarray(ang),
-            jnp.asarray(layer), jnp.asarray(sy), jnp.asarray(sx),
-            jnp.asarray(cy), jnp.asarray(cx), jnp.asarray(radius),
-            jnp.asarray(wf, jnp.float32), jnp.asarray(valid),
-            s, h, w, 36,
+            jnp.asarray(layer), jnp.asarray(cy), jnp.asarray(cx),
+            jnp.asarray(radius), jnp.asarray(wf), jnp.asarray(valid),
+            half, h, w, 36,
         )
     )
     assert out.shape == (k, 36)
@@ -53,46 +44,28 @@ def test_orientation_histograms_vs_oracle():
                         wgt = np.exp(np.float32(wf[i]) * np.float32(dy * dy + dx * dx))
                         b = int(np.rint(a * 36 / 360.0)) % 36
                         hist[b] += np.float32(wgt * m)
-        np.testing.assert_allclose(out[i], hist, rtol=2e-5, atol=2e-3)
+        np.testing.assert_allclose(out[i], hist, rtol=2e-5, atol=2e-3, err_msg=str(i))
 
 
-def test_descriptor_histograms_match_xla_path():
-    """Kernel vs the XLA two-hot GEMM on identical inputs."""
+def test_full_pipeline_parity_pallas_vs_xla():
+    """End-to-end keypoints+descriptors identical under both paths."""
     import jax
 
     from vfx_image_stitching_tpu.config import SiftConfig
-    from vfx_image_stitching_tpu.models.sift.keypoints import Keypoints
-    from vfx_image_stitching_tpu.models.sift.descriptor import (
-        compute_descriptors,
-        compute_descriptors_pallas,
+    from vfx_image_stitching_tpu.models.sift.extract import (
+        sift_keypoints_and_descriptors,
     )
 
     rng = np.random.default_rng(1)
-    h = w = 64
-    mag, ang = _stacks(rng, h, w)
-    k = 8
-    cfg = SiftConfig()
-    kps = Keypoints(
-        x=jnp.asarray(rng.random(k) * w * 2, jnp.float32),
-        y=jnp.asarray(rng.random(k) * h * 2, jnp.float32),
-        size=jnp.asarray(rng.random(k) * 4 + 1, jnp.float32),
-        angle=jnp.asarray(rng.random(k) * 360, jnp.float32),
-        response=jnp.ones(k, jnp.float32),
-        # octave_packed for converted kps of octave 1: octv=0, layer in 1..3
-        octave=jnp.asarray(
-            0 + (rng.integers(1, 4, k) << 8) + (128 << 16), jnp.int32
-        ),
-        valid=jnp.asarray([True] * 6 + [False] * 2),
-    )
-    a = np.asarray(
-        compute_descriptors(jnp.asarray(mag), jnp.asarray(ang), kps, 1, cfg)
-    )
-    b = np.asarray(
-        compute_descriptors_pallas(
-            jnp.asarray(mag), jnp.asarray(ang), kps, 1, cfg
+    gray = rng.integers(0, 255, (72, 96)).astype(np.float32)
+    fn = jax.jit(sift_keypoints_and_descriptors, static_argnames=("cfg",))
+    k1, d1, _ = fn(jnp.asarray(gray), SiftConfig(use_pallas=False))
+    k2, d2, _ = fn(jnp.asarray(gray), SiftConfig(use_pallas=True))
+    v1 = np.asarray(k1.valid)
+    v2 = np.asarray(k2.valid)
+    assert v1.sum() == v2.sum()
+    for a, b in zip(k1[:-1], k2[:-1]):
+        np.testing.assert_allclose(
+            np.asarray(a)[v1], np.asarray(b)[v2], atol=1e-4
         )
-    )
-    v = np.asarray(kps.valid)
-    np.testing.assert_allclose(a[v], b[v], atol=1.0)  # rint boundary only
-    assert np.abs(a[v] - b[v]).max() <= 1.0
-    assert (a[v] != b[v]).mean() < 0.02
+    np.testing.assert_array_equal(np.asarray(d1)[v1], np.asarray(d2)[v2])

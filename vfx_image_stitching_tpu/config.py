@@ -61,11 +61,11 @@ class SiftCapacities:
     # total keypoints/image is ~1900.
     max_keypoints: int = 3072
     # Orientation histogram window half-radius cap (sift_impl.py:254 radius
-    # is data dependent; audit max is 17).
-    max_radius: int = 24
+    # is data dependent; audit max over all dataset images is 17).
+    max_radius: int = 20
     # Descriptor sampling window half-width cap (sift_impl.py:386-387
     # half_width is data dependent; audit max is 41, p99 is 38).
-    max_half_width: int = 48
+    max_half_width: int = 44
     # GEMM chunk for the descriptor one-hot contraction (memory knob).
     desc_chunk: int = 64
 

@@ -100,15 +100,9 @@ def assign_orientations(
             orientation_histograms,
         )
 
-        s = 2 * half + 1
-        magp = _pad_stack(mag_stack, s, s)
-        angp = _pad_stack(ang_stack, s, s)
-        hp, wp = magp.shape[-2:]
-        sy = jnp.clip(cy - half, 0, hp - s)
-        sx = jnp.clip(cx - half, 0, wp - s)
         raw = orientation_histograms(
-            magp, angp, loc.layer, sy, sx, cy, cx, radius, weight_factor,
-            loc.valid, s, h, w, nb,
+            mag_stack, ang_stack, loc.layer, cy, cx, radius, weight_factor,
+            loc.valid, half, h, w, nb,
         )
     else:
         magw, rows, cols = _window_gather(mag_stack, loc.layer, cy, cx, half)

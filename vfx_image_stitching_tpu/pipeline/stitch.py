@@ -146,6 +146,17 @@ def stitch_panorama(
         cfg = dataclasses.replace(cfg, backend=backend)
     margin = cfg.crop_margin if crop_margin is None else crop_margin
 
+    from vfx_image_stitching_tpu.utils.profiling import profile_trace
+
+    with profile_trace(cfg.profile_dir):
+        return _stitch_inner(
+            folder, pano_file, margin, cfg, save_path, return_steps, verbose
+        )
+
+
+def _stitch_inner(
+    folder, pano_file, margin, cfg, save_path, return_steps, verbose
+) -> StitchResult:
     timings = {}
     t0 = time.time()
     images, focals, _paths = load_dataset(folder, pano_file)
