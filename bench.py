@@ -21,6 +21,7 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("VFX_USE_PALLAS", "1")  # Pallas orientation kernel
 
 DATA_ROOT = os.environ.get("VFX_REFERENCE_DIR", "/root/reference")
 

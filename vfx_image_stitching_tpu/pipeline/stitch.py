@@ -144,6 +144,10 @@ def stitch_panorama(
     cfg = cfg or StitchConfig(backend=backend)
     if cfg.backend != backend:
         cfg = dataclasses.replace(cfg, backend=backend)
+    if os.environ.get("VFX_USE_PALLAS") == "1" and not cfg.sift.use_pallas:
+        cfg = dataclasses.replace(
+            cfg, sift=dataclasses.replace(cfg.sift, use_pallas=True)
+        )
     margin = cfg.crop_margin if crop_margin is None else crop_margin
 
     from vfx_image_stitching_tpu.utils.profiling import profile_trace
