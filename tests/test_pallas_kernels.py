@@ -8,6 +8,12 @@ from vfx_image_stitching_tpu.models.sift.pallas_kernels import (
 )
 
 
+def _stacks(rng, h, w):
+    mag = rng.random((6, h, w)).astype(np.float32) * 100
+    ang = rng.random((6, h, w)).astype(np.float32) * 360
+    return mag, ang
+
+
 def test_orientation_histograms_vs_oracle():
     rng = np.random.default_rng(0)
     h, w = 150, 170
@@ -47,25 +53,45 @@ def test_orientation_histograms_vs_oracle():
         np.testing.assert_allclose(out[i], hist, rtol=2e-5, atol=2e-3, err_msg=str(i))
 
 
-def test_full_pipeline_parity_pallas_vs_xla():
-    """End-to-end keypoints+descriptors identical under both paths."""
-    import jax
+def test_descriptor_kernel_matches_xla_path():
+    """Tiled Pallas descriptor kernel vs the XLA two-hot GEMM, K=8.
 
+    (Full-pipeline parity of both kernels runs on TPU via
+    scripts/verify_parity.py — interpret-mode grids over full keypoint
+    capacities are too slow for the CPU suite.)
+    """
     from vfx_image_stitching_tpu.config import SiftConfig
-    from vfx_image_stitching_tpu.models.sift.extract import (
-        sift_keypoints_and_descriptors,
+    from vfx_image_stitching_tpu.models.sift.keypoints import Keypoints
+    from vfx_image_stitching_tpu.models.sift.descriptor import (
+        compute_descriptors,
+        compute_descriptors_pallas,
     )
 
     rng = np.random.default_rng(1)
-    gray = rng.integers(0, 255, (72, 96)).astype(np.float32)
-    fn = jax.jit(sift_keypoints_and_descriptors, static_argnames=("cfg",))
-    k1, d1, _ = fn(jnp.asarray(gray), SiftConfig(use_pallas=False))
-    k2, d2, _ = fn(jnp.asarray(gray), SiftConfig(use_pallas=True))
-    v1 = np.asarray(k1.valid)
-    v2 = np.asarray(k2.valid)
-    assert v1.sum() == v2.sum()
-    for a, b in zip(k1[:-1], k2[:-1]):
-        np.testing.assert_allclose(
-            np.asarray(a)[v1], np.asarray(b)[v2], atol=1e-4
+    h, w = 96, 120
+    mag, ang = _stacks(rng, h, w)
+    k = 8
+    cfg = SiftConfig()
+    kps = Keypoints(
+        x=jnp.asarray(rng.random(k) * w * 2, jnp.float32),
+        y=jnp.asarray(rng.random(k) * h * 2, jnp.float32),
+        size=jnp.asarray(rng.random(k) * 4 + 1, jnp.float32),
+        angle=jnp.asarray(rng.random(k) * 360, jnp.float32),
+        response=jnp.ones(k, jnp.float32),
+        # packed octave for converted kps of octave 1: octv=0, layer 1..3
+        octave=jnp.asarray(
+            0 + (rng.integers(1, 4, k) << 8) + (128 << 16), jnp.int32
+        ),
+        valid=jnp.asarray([True] * 6 + [False] * 2),
+    )
+    a = np.asarray(
+        compute_descriptors(jnp.asarray(mag), jnp.asarray(ang), kps, 1, cfg)
+    )
+    b = np.asarray(
+        compute_descriptors_pallas(
+            jnp.asarray(mag), jnp.asarray(ang), kps, 1, cfg
         )
-    np.testing.assert_array_equal(np.asarray(d1)[v1], np.asarray(d2)[v2])
+    )
+    v = np.asarray(kps.valid)
+    assert np.abs(a[v] - b[v]).max() <= 1.0  # rint boundary only
+    assert (a[v] != b[v]).mean() < 0.02

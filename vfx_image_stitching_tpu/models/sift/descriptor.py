@@ -47,6 +47,50 @@ def _finalize(vec: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
     return jnp.clip(jnp.rint(512.0 * vec), 0.0, 255.0).astype(jnp.float32)
 
 
+def _window_params(kps: Keypoints, cfg: SiftConfig, rows_dim: int, cols_dim: int):
+    """Per-keypoint descriptor window geometry (sift_impl.py:370-387)."""
+    octv, layer, scl = unpack_octave(kps.octave)
+    pt_x = jnp.rint(scl * kps.x).astype(jnp.int32)
+    pt_y = jnp.rint(scl * kps.y).astype(jnp.int32)
+    angle = 360.0 - kps.angle
+    rad = jnp.deg2rad(angle)
+    hist_width = cfg.scale_multiplier * 0.5 * scl * kps.size
+    ww = cfg.window_width
+    half_w = jnp.rint(
+        hist_width * (math.sqrt(2) * (ww + 1) * 0.5)
+    ).astype(jnp.int32)
+    diag = int(math.sqrt(rows_dim**2 + cols_dim**2))
+    half_w = jnp.minimum(half_w, diag)
+    half_w = jnp.minimum(half_w, cfg.capacities.max_half_width)
+    return layer, pt_x, pt_y, angle, jnp.cos(rad), jnp.sin(rad), hist_width, half_w
+
+
+def compute_descriptors_pallas(
+    mag_stack: jnp.ndarray,
+    ang_stack: jnp.ndarray,
+    kps: Keypoints,
+    octave: int,
+    cfg: SiftConfig,
+) -> jnp.ndarray:
+    """Tiled-window Pallas path: trilinear bins never leave VMEM."""
+    from vfx_image_stitching_tpu.models.sift.pallas_kernels import (
+        descriptor_histograms,
+    )
+
+    rows_dim, cols_dim = mag_stack.shape[-2:]
+    layer, pt_x, pt_y, angle, cos_a, sin_a, hist_width, half_w = _window_params(
+        kps, cfg, rows_dim, cols_dim
+    )
+    safe_hw = jnp.where(hist_width > 0.0, hist_width, 1.0)
+    vec = descriptor_histograms(
+        mag_stack, ang_stack, layer, pt_y, pt_x, half_w,
+        cos_a, sin_a, safe_hw, angle, kps.valid,
+        cfg.capacities.max_half_width, rows_dim, cols_dim,
+        cfg.desc_bins, cfg.window_width,
+    )
+    return _finalize(vec, cfg)
+
+
 def compute_descriptors(
     mag_stack: jnp.ndarray,
     ang_stack: jnp.ndarray,
@@ -155,14 +199,15 @@ def compute_descriptors_chunked(
     octave: int,
     cfg: SiftConfig,
 ) -> jnp.ndarray:
-    """Chunked one-hot GEMM descriptor path.
+    """Descriptor dispatch: tiled Pallas kernel or chunked one-hot GEMM.
 
-    This stage deliberately has no Pallas variant: the 128-bin one-hot
-    *construction* costs the same VPU work in-kernel or in XLA, and the
-    reduction itself rides the MXU here — a Pallas kernel has nothing to
-    win (``use_pallas`` gates the orientation kernel instead, where the
-    single-pass on-chip reduction removes 36x window traffic).
+    The GEMM path materializes (chunk, S^2, 36) one-hot tensors in HBM —
+    the measured hot spot of the whole extractor; the Pallas kernel keeps
+    every bin in VMEM.
     """
+    if cfg.use_pallas:
+        return compute_descriptors_pallas(mag_stack, ang_stack, kps, octave, cfg)
+
     k = kps.capacity
     chunk = min(cfg.capacities.desc_chunk, k)
     if k % chunk != 0:

@@ -15,10 +15,11 @@ environment's AOT Mosaic compile helper (SIGABRT, reproduced on a
 minimal kernel); scalar-prefetched *block-mapped* fetches compile and run
 fine, so the kernel is built entirely from those.
 
-The descriptor stage deliberately stays on the XLA one-hot GEMM path: its
-128-bin one-hot construction costs the same VPU work either way and the
-GEMM reduction rides the MXU, so a Pallas version has nothing to win
-(measured; see models/sift/descriptor.py).
+The descriptor kernel uses the same tile scheme with the full trilinear
+two-hot accumulation fused on-chip.  Its win over the XLA one-hot GEMM is
+not compute but memory: the GEMM path materializes a (chunk, S^2, 36)
+one-hot tensor in HBM (~130 GB of traffic over a full dataset batch);
+the kernel's bins never leave VMEM.
 """
 
 from __future__ import annotations
@@ -32,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_R = 40      # row-tile height: two tiles cover any <=41-row window
 TILE_C = 128     # lane-tile width: two tiles cover any <=129-col window
+DESC_TILE_R = 88  # descriptor row-tile: two tiles cover any <=89-row window
 OUT_ROWS = 8     # output block sublane height (TPU alignment)
 OUT_LANES = 128  # output row width (36 bins zero-padded)
 
@@ -173,3 +175,198 @@ def orientation_histograms(
         *([ang_stack.astype(jnp.float32)] * 4),
     )
     return out[:k, :num_bins]
+
+
+def _descriptor_kernel(
+    # scalar prefetch
+    r0_ref, c0_ref, layer_ref, py_ref, px_ref, halfw_ref,
+    cos_ref, sin_ref, hw_ref, angle_ref, valid_ref,
+    # block-mapped inputs: 2x2 tiles of mag and ang
+    m00, m01, m10, m11, a00, a01, a10, a11,
+    # output
+    out_ref,
+    *, num_bins: int, window_width: int, h: int, w: int,
+):
+    i = pl.program_id(0)
+    base_r = r0_ref[i] * DESC_TILE_R
+    base_c = c0_ref[i] * TILE_C
+    py = py_ref[i]
+    px = px_ref[i]
+    half_w = halfw_ref[i].astype(jnp.float32)
+    cos_a = cos_ref[i]
+    sin_a = sin_ref[i]
+    hwid = hw_ref[i]
+    angle = angle_ref[i]
+    ok = valid_ref[i] != 0
+    ww = window_width
+    weight_mul = -0.5 / ((0.5 * ww) ** 2)
+
+    tiles = ((m00, a00, 0, 0), (m01, a01, 0, 1),
+             (m10, a10, 1, 0), (m11, a11, 1, 1))
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (DESC_TILE_R, TILE_C), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (DESC_TILE_R, TILE_C), 1)
+
+    per_tile = []
+    for (m_t, a_t, tr, tc) in tiles:
+        rows = base_r + tr * DESC_TILE_R + row_iota
+        cols = base_c + tc * TILE_C + col_iota
+        ys = (rows - py).astype(jnp.float32)
+        xs = (cols - px).astype(jnp.float32)
+        in_win = (jnp.abs(ys) <= half_w) & (jnp.abs(xs) <= half_w)
+        in_bounds = (rows > 0) & (rows < h - 1) & (cols > 0) & (cols < w - 1)
+        r_rot = xs * sin_a + ys * cos_a
+        c_rot = xs * cos_a - ys * sin_a
+        r_bin = r_rot / hwid + (0.5 * ww - 0.5)
+        c_bin = c_rot / hwid + (0.5 * ww - 0.5)
+        in_bin = (r_bin > -1.0) & (r_bin < ww) & (c_bin > -1.0) & (c_bin < ww)
+        mask = in_win & in_bounds & in_bin & ok
+        weight = jnp.exp(
+            weight_mul * ((r_rot / hwid) ** 2 + (c_rot / hwid) ** 2)
+        )
+        wm = jnp.where(mask, weight * m_t[0], 0.0)
+        r_bin = jnp.where(mask, r_bin, 0.0)
+        c_bin = jnp.where(mask, c_bin, 0.0)
+        ob = jnp.mod(
+            (a_t[0] - angle) * (num_bins / 360.0), jnp.float32(num_bins)
+        )
+        ob = jnp.where(mask, ob, 0.0)
+        r0b = jnp.floor(r_bin).astype(jnp.int32)
+        c0b = jnp.floor(c_bin).astype(jnp.int32)
+        o0b = jnp.mod(jnp.floor(ob).astype(jnp.int32), num_bins)
+        rf = r_bin - r0b.astype(jnp.float32)
+        cf = c_bin - c0b.astype(jnp.float32)
+        of = ob - o0b.astype(jnp.float32)
+        c1 = wm * rf
+        per_tile.append(
+            dict(r0=r0b, c0=c0b, o0=o0b, o1=jnp.mod(o0b + 1, num_bins),
+                 cf=cf, of=of, c1=c1, c0w=wm - c1)
+        )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, OUT_LANES), 1)
+    row = jnp.zeros((1, OUT_LANES), jnp.float32)
+    # only the inner ww x ww cells survive the reference's padding-ring
+    # crop (sift_impl.py:509)
+    for r in range(1, ww + 1):
+        wr = [
+            jnp.where(t["r0"] + 1 == r, t["c0w"], 0.0)
+            + jnp.where(t["r0"] + 2 == r, t["c1"], 0.0)
+            for t in per_tile
+        ]
+        for c in range(1, ww + 1):
+            wrc = [
+                wr_t * (
+                    jnp.where(t["c0"] + 1 == c, 1.0 - t["cf"], 0.0)
+                    + jnp.where(t["c0"] + 2 == c, t["cf"], 0.0)
+                )
+                for wr_t, t in zip(wr, per_tile)
+            ]
+            for o in range(num_bins):
+                sb = sum(
+                    jnp.sum(
+                        jnp.where(t["o0"] == o, w_t * (1.0 - t["of"]), 0.0)
+                        + jnp.where(t["o1"] == o, w_t * t["of"], 0.0)
+                    )
+                    for w_t, t in zip(wrc, per_tile)
+                )
+                idx = ((r - 1) * ww + (c - 1)) * num_bins + o
+                row = jnp.where(lane == idx, sb, row)
+    out_ref[pl.ds(jnp.mod(i, OUT_ROWS), 1), :] = row
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("half_cap", "num_bins", "window_width", "img_h", "img_w",
+                     "interpret"),
+)
+def descriptor_histograms(
+    mag_stack: jnp.ndarray,
+    ang_stack: jnp.ndarray,
+    layer: jnp.ndarray,
+    py: jnp.ndarray,
+    px: jnp.ndarray,
+    half_w: jnp.ndarray,
+    cos_a: jnp.ndarray,
+    sin_a: jnp.ndarray,
+    hist_width: jnp.ndarray,
+    angle: jnp.ndarray,
+    valid: jnp.ndarray,
+    half_cap: int,
+    img_h: int,
+    img_w: int,
+    num_bins: int = 8,
+    window_width: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(K, 128) trilinear descriptor histograms (sift_impl.py:459-509).
+
+    Same blocked 2x2-tile window scheme as the orientation kernel, with
+    the full trilinear two-hot accumulation fused on-chip — no (K, S^2,
+    36) HBM intermediate at all.  Returns the tensor already cropped to
+    the inner ww x ww cells; the caller post-processes.
+    """
+    assert 2 * half_cap + 1 <= DESC_TILE_R + 1, half_cap
+    out_dim = window_width * window_width * num_bins
+    assert out_dim == OUT_LANES, out_dim
+    k = layer.shape[0]
+    pad = (-k) % OUT_ROWS
+    if pad:
+        (layer, py, px, half_w, cos_a, sin_a, hist_width, angle, valid) = (
+            jnp.pad(a, (0, pad))
+            for a in (layer, py, px, half_w, cos_a, sin_a, hist_width,
+                      angle, valid)
+        )
+        hist_width = jnp.where(hist_width == 0.0, 1.0, hist_width)
+    kp = layer.shape[0]
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    hs, ws = mag_stack.shape[-2:]
+    ph = (-hs) % DESC_TILE_R + DESC_TILE_R
+    pw = (-ws) % TILE_C + TILE_C
+    if ph or pw:
+        cfgp = [(0, 0), (0, ph), (0, pw)]
+        mag_stack = jnp.pad(mag_stack, cfgp)
+        ang_stack = jnp.pad(ang_stack, cfgp)
+
+    sy = jnp.clip(py - half_cap, 0, hs - 1)
+    sx = jnp.clip(px - half_cap, 0, ws - 1)
+    r0 = sy // DESC_TILE_R
+    c0 = sx // TILE_C
+
+    def tile_spec(tr, tc):
+        return pl.BlockSpec(
+            (1, DESC_TILE_R, TILE_C),
+            lambda i, r0_ref, c0_ref, layer_ref, *_: (
+                layer_ref[i], r0_ref[i] + tr, c0_ref[i] + tc
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=11,
+        grid=(kp,),
+        in_specs=[tile_spec(tr, tc) for tr in (0, 1) for tc in (0, 1)] * 2,
+        out_specs=pl.BlockSpec(
+            (OUT_ROWS, OUT_LANES),
+            lambda i, *_: (i // OUT_ROWS, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(
+        _descriptor_kernel, num_bins=num_bins, window_width=window_width,
+        h=img_h, w=img_w,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((kp, OUT_LANES), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        r0.astype(jnp.int32), c0.astype(jnp.int32), layer.astype(jnp.int32),
+        py.astype(jnp.int32), px.astype(jnp.int32), half_w.astype(jnp.int32),
+        cos_a.astype(jnp.float32), sin_a.astype(jnp.float32),
+        hist_width.astype(jnp.float32), angle.astype(jnp.float32),
+        valid.astype(jnp.int32),
+        *([mag_stack.astype(jnp.float32)] * 4),
+        *([ang_stack.astype(jnp.float32)] * 4),
+    )
+    return out[:k]
