@@ -199,15 +199,15 @@ def compute_descriptors_chunked(
     octave: int,
     cfg: SiftConfig,
 ) -> jnp.ndarray:
-    """Descriptor dispatch: tiled Pallas kernel or chunked one-hot GEMM.
+    """Chunked one-hot GEMM descriptor path (the measured-fastest).
 
-    The GEMM path materializes (chunk, S^2, 36) one-hot tensors in HBM —
-    the measured hot spot of the whole extractor; the Pallas kernel keeps
-    every bin in VMEM.
+    A tiled Pallas variant exists (``compute_descriptors_pallas``) but
+    measured *slower* on v5e: per-keypoint 2x2 tile fetches (360 KB per
+    keypoint for the 89-wide windows) outweigh the saved one-hot HBM
+    traffic, while the GEMM reduction rides the MXU.  ``use_pallas``
+    therefore gates only the orientation kernel, whose 41-wide windows
+    make the same tile scheme profitable.
     """
-    if cfg.use_pallas:
-        return compute_descriptors_pallas(mag_stack, ang_stack, kps, octave, cfg)
-
     k = kps.capacity
     chunk = min(cfg.capacities.desc_chunk, k)
     if k % chunk != 0:
