@@ -52,7 +52,7 @@ class SiftCapacities:
     # surviving localized candidates      (audit: 1478 / 430 / 122 / 50)
     localized_caps: Tuple[int, ...] = (2048, 640, 224, 128)
     # oriented keypoints (peak expansion) (audit: 1790 / 466 / 154 / 67)
-    oriented_caps: Tuple[int, ...] = (3072, 768, 256, 128)
+    oriented_caps: Tuple[int, ...] = (2560, 640, 256, 128)
     # Orientation peaks emitted per localized candidate
     # (sift_impl.py:280-292 can emit several; audit max is 5).
     max_orientations: int = 8
@@ -67,7 +67,7 @@ class SiftCapacities:
     # half_width is data dependent; audit max is 41, p99 is 38).
     max_half_width: int = 44
     # GEMM chunk for the descriptor one-hot contraction (memory knob).
-    desc_chunk: int = 64
+    desc_chunk: int = 128
 
     @staticmethod
     def _table(table: Tuple[int, ...], octave: int) -> int:

@@ -12,8 +12,16 @@ which rides ICI on a real slice.
 
 from vfx_image_stitching_tpu.parallel.mesh import (
     make_mesh,
+    make_mesh_2d,
     sharded_pairwise_shifts,
+    sharded_multi_pano_shifts,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "sharded_pairwise_shifts", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "make_mesh_2d",
+    "sharded_pairwise_shifts",
+    "sharded_multi_pano_shifts",
+    "shard_batch",
+]

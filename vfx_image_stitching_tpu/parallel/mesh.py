@@ -80,3 +80,39 @@ def sharded_pairwise_shifts(
     cfg = cfg or StitchConfig(backend="harris")
     batch = jax.device_put(batch, NamedSharding(mesh, P(axis_name)))
     return _pairwise_shift_step(batch, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _multi_pano_step(batch: jnp.ndarray, cfg: StitchConfig):
+    """(P, N, H, W, 3) multi-panorama step: vmap over the panorama axis."""
+    return jax.vmap(lambda b: _pairwise_shift_step(b, cfg))(batch)
+
+
+def make_mesh_2d(n_devices: Optional[int] = None,
+                 axes: Sequence[str] = ("pano", "images")) -> Mesh:
+    """2-D mesh for the multi-panorama throughput config."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    d0 = 2 if n % 2 == 0 and n > 1 else 1
+    return Mesh(np.asarray(devs).reshape(d0, n // d0), tuple(axes))
+
+
+def sharded_multi_pano_shifts(
+    batch: jnp.ndarray,
+    mesh: Mesh,
+    cfg: Optional[StitchConfig] = None,
+):
+    """Hierarchically sharded step: data-parallel over panoramas on one
+    mesh axis, image-parallel within each panorama on the other.
+
+    ``batch`` is (P, N, H, W, 3); feature extraction shards over both
+    axes, the adjacent-pair coupling stays a one-hop exchange on the
+    inner axis, and the per-pair shift outputs are tiny.
+    """
+    cfg = cfg or StitchConfig(backend="harris")
+    batch = jax.device_put(
+        batch, NamedSharding(mesh, P(*mesh.axis_names))
+    )
+    return _multi_pano_step(batch, cfg)
