@@ -49,19 +49,31 @@ def run(backend: str) -> dict:
         "vs_baseline": round(baseline / elapsed, 1),
     }
     # parity extras (not part of the one-line contract, kept in the dict)
-    golden_path = os.path.join(
-        DATA_ROOT, "Result", f"{backend}_prtn_result.jpg"
-    )
     try:
         import cv2
 
         from vfx_image_stitching_tpu.utils.metrics import aligned_rmse
 
-        golden = cv2.imread(golden_path)
+        golden = cv2.imread(
+            os.path.join(DATA_ROOT, "Result", f"{backend}_prtn_result.jpg")
+        )
         if golden is not None:
             rmse, off = aligned_rmse(res.panorama, golden)
             out["rmse_vs_golden"] = round(rmse, 3)
             out["golden_align_offset"] = list(off)
+
+        # grail: the dataset where SIFT parity is exact (no vote ties)
+        gres = stitch_panorama(
+            os.path.join(DATA_ROOT, "grail"), backend=backend,
+            crop_margin=17, save_path=None,
+        )
+        ggolden = cv2.imread(
+            os.path.join(DATA_ROOT, "Result", f"{backend}_grail_result.jpg")
+        )
+        if ggolden is not None:
+            grmse, goff = aligned_rmse(gres.panorama, ggolden)
+            out["grail_time_s"] = round(gres.timings["total"], 3)
+            out["grail_rmse_vs_golden"] = round(grmse, 3)
     except Exception:
         pass
     return out

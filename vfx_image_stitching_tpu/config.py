@@ -68,6 +68,12 @@ class SiftCapacities:
     max_half_width: int = 44
     # GEMM chunk for the descriptor one-hot contraction (memory knob).
     desc_chunk: int = 128
+    # bf16 one-hot operands for the descriptor GEMM (halves the HBM
+    # traffic of the hot spot).  Descriptor bins sum hundreds of
+    # bf16-rounded contributions, so quantized values can shift by ~1-2
+    # (of 255) — measured to leave every dataset's shifts unchanged, but
+    # off by default where bit-parity with the f32 path matters.
+    desc_bf16: bool = False
 
     @staticmethod
     def _table(table: Tuple[int, ...], octave: int) -> int:

@@ -182,8 +182,12 @@ def compute_descriptors(
     o8 = _two_hot(o0, (1.0 - of), of, nb, wrap=True)  # (K, S, S, 8)
 
     rc = (r6[..., :, None] * c6[..., None, :]).reshape(k, s2, (ww + 2) ** 2)
+    o8r = o8.reshape(k, s2, nb)
+    if cfg.capacities.desc_bf16:
+        rc = rc.astype(jnp.bfloat16)
+        o8r = o8r.astype(jnp.bfloat16)
     tensor = jax.lax.dot_general(
-        rc, o8.reshape(k, s2, nb),
+        rc, o8r,
         (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                                # (K, 36, 8)
