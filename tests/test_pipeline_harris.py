@@ -95,6 +95,7 @@ def test_parrington_harris_end_to_end_vs_golden():
         backend="harris",
         crop_margin=15,
         save_path=None,
+        return_steps=True,
     )
     assert res.shifts == PARRINGTON_SHIFTS
     golden = cv2.imread(
@@ -104,3 +105,19 @@ def test_parrington_harris_end_to_end_vs_golden():
     d = res.panorama.astype(np.float64) - golden.astype(np.float64)
     rmse = float(np.sqrt((d**2).mean()))
     assert rmse < 3.0  # JPEG-noise level ("blend tolerance")
+
+    # per-step mosaics vs the author's pano_step goldens.  The author's
+    # run used an older OpenCV whose Harris shifts differ by ~1px on a
+    # couple of early pairs, so step canvases can differ by a few pixels;
+    # aligned RMSE over the overlap is the right comparison.
+    from vfx_image_stitching_tpu.utils.metrics import aligned_rmse
+
+    assert len(res.steps) == 17
+    for step_no in (1, 8, 17):
+        g = cv2.imread(
+            os.path.join(REFERENCE_DIR, "pano_step_parrington",
+                         f"pano{step_no}.jpg")
+        )
+        step = res.steps[step_no - 1]
+        srmse, _off = aligned_rmse(step, g, max_offset=6)
+        assert srmse < 20.0, (step_no, step.shape, g.shape, srmse)

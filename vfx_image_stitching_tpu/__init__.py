@@ -37,6 +37,21 @@ from vfx_image_stitching_tpu.io import read_pano_data, load_dataset
 
 __version__ = "0.1.0"
 
+
+def stitch_panorama(*args, **kwargs):
+    """Lazy re-export of :func:`pipeline.stitch.stitch_panorama`."""
+    from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama as fn
+
+    return fn(*args, **kwargs)
+
+
+def stitch_many(*args, **kwargs):
+    """Lazy re-export of :func:`pipeline.multi.stitch_many`."""
+    from vfx_image_stitching_tpu.pipeline.multi import stitch_many as fn
+
+    return fn(*args, **kwargs)
+
+
 __all__ = [
     "HarrisConfig",
     "MatchConfig",
@@ -45,5 +60,7 @@ __all__ = [
     "StitchConfig",
     "read_pano_data",
     "load_dataset",
+    "stitch_panorama",
+    "stitch_many",
     "__version__",
 ]

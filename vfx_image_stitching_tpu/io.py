@@ -124,6 +124,61 @@ def load_dataset(
     return images, focals, resolved
 
 
+def load_dataset_device(
+    folder: str, pano_file: Optional[str] = None
+):
+    """Load a dataset straight onto the device, overlapping decode with
+    transfer.
+
+    Each image is ``device_put`` as soon as its JPEG decode finishes (JAX
+    transfers are asynchronous), so on slow host-device links the upload
+    hides behind the remaining decodes.  Returns
+    ``(cyl_input_batch (device, N,H,W,3 u8), valid mask, focals, shape)``
+    where unreadable images are zero-filled with ``valid=False``.
+    """
+    import concurrent.futures as cf
+
+    import jax
+    import jax.numpy as jnp
+
+    if not folder.endswith(("/", "\\")):
+        folder = folder + "/"
+    if pano_file is None:
+        pano_file = os.path.join(folder, "pano.txt")
+    img_paths, focals = read_pano_data(pano_file)
+    if not img_paths:
+        raise ValueError("no valid entries in pano.txt")
+    resolved = [resolve_image_path(p, folder) for p in img_paths]
+
+    n = len(resolved)
+    device_imgs: List[Optional[object]] = [None] * n
+    shapes = [None] * n
+    with cf.ThreadPoolExecutor(max_workers=min(8, n)) as pool:
+        futs = {pool.submit(load_bgr, p): i for i, p in enumerate(resolved)}
+        for fut in cf.as_completed(futs):
+            i = futs[fut]
+            img = fut.result()
+            if img is not None:
+                shapes[i] = img.shape
+                device_imgs[i] = jax.device_put(img)  # async transfer
+
+    shape_set = {s for s in shapes if s is not None}
+    if len(shape_set) > 1:
+        raise ValueError(f"dataset images disagree on shape: {shape_set}")
+    if not shape_set:
+        raise ValueError("no readable images in dataset")
+    shape = next(iter(shape_set))
+    valid = np.array([s is not None for s in shapes])
+    zero = None
+    for i in range(n):
+        if device_imgs[i] is None:
+            if zero is None:
+                zero = jnp.zeros(shape, jnp.uint8)
+            device_imgs[i] = zero
+    batch = jnp.stack(device_imgs)
+    return batch, valid, focals, shape
+
+
 def stack_dataset(
     images: Sequence[Optional[np.ndarray]],
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -34,7 +34,7 @@ from vfx_image_stitching_tpu.compose import (
 )
 from vfx_image_stitching_tpu.estimate import correct_drift, translation_ransac
 from vfx_image_stitching_tpu.geometry import cylindrical_project_batch
-from vfx_image_stitching_tpu.io import load_dataset, stack_dataset, save_bgr
+from vfx_image_stitching_tpu.io import save_bgr
 from vfx_image_stitching_tpu.match import match_descriptors
 from vfx_image_stitching_tpu.models.harris import harris_batch
 
@@ -163,13 +163,12 @@ def _stitch_inner(
 ) -> StitchResult:
     timings = {}
     t0 = time.time()
-    images, focals, _paths = load_dataset(folder, pano_file)
-    if not images:
-        raise ValueError("no valid entries in pano.txt")
-    batch, valid = stack_dataset(images)
-    n, h, w = batch.shape[:3]
+    from vfx_image_stitching_tpu.io import load_dataset_device
 
-    cyl = cylindrical_project_batch(jnp.asarray(batch), tuple(focals))
+    batch, valid, focals, (h, w, _c) = load_dataset_device(folder, pano_file)
+    n = batch.shape[0]
+
+    cyl = cylindrical_project_batch(batch, tuple(focals))
     cyl.block_until_ready()
     t1 = time.time()
     timings["load_project"] = t1 - t0
