@@ -68,6 +68,15 @@ class SiftCapacities:
     max_half_width: int = 44
     # GEMM chunk for the descriptor one-hot contraction (memory knob).
     desc_chunk: int = 128
+    # Size-bucketed descriptor windows: keypoints with half-width <=
+    # desc_small_half take a small-window pass (57^2 samples instead of
+    # 89^2).  Group caps audited per octave over all datasets
+    # (small max: 1271/362/108/51; big max: 518/148/53/20, final-set
+    # counts; caps carry pre-dedup + safety margin).
+    desc_bucketed: bool = True
+    desc_small_half: int = 28
+    desc_small_caps: Tuple[int, ...] = (2048, 640, 224, 128)
+    desc_big_caps: Tuple[int, ...] = (1024, 256, 128, 128)
     # bf16 one-hot operands for the descriptor GEMM (halves the HBM
     # traffic of the hot spot).  Descriptor bins sum hundreds of
     # bf16-rounded contributions, so quantized values can shift by ~1-2

@@ -97,6 +97,7 @@ def compute_descriptors(
     kps: Keypoints,
     octave: int,
     cfg: SiftConfig,
+    half_cap: int | None = None,
 ) -> jnp.ndarray:
     """(K, 128) descriptors for *converted* keypoints of one octave.
 
@@ -106,7 +107,8 @@ def compute_descriptors(
     ``gaussian_images[octv + 1][layer]`` — i.e. this very octave).
     """
     caps = cfg.capacities
-    half_cap = caps.max_half_width
+    if half_cap is None:
+        half_cap = caps.max_half_width
     s = 2 * half_cap + 1
     nb = cfg.desc_bins
     ww = cfg.window_width
@@ -202,6 +204,7 @@ def compute_descriptors_chunked(
     kps: Keypoints,
     octave: int,
     cfg: SiftConfig,
+    half_cap: int | None = None,
 ) -> jnp.ndarray:
     """Chunked one-hot GEMM descriptor path (the measured-fastest).
 
@@ -218,8 +221,69 @@ def compute_descriptors_chunked(
         chunk = math.gcd(k, chunk) or k
 
     def one(chunk_kps):
-        return compute_descriptors(mag_stack, ang_stack, chunk_kps, octave, cfg)
+        return compute_descriptors(
+            mag_stack, ang_stack, chunk_kps, octave, cfg, half_cap
+        )
 
     reshaped = Keypoints(*[f.reshape(k // chunk, chunk) for f in kps])
     out = jax.lax.map(one, reshaped)
     return out.reshape(k, -1)
+
+
+def compute_descriptors_bucketed(
+    mag_stack: jnp.ndarray,
+    ang_stack: jnp.ndarray,
+    kps: Keypoints,
+    octave: int,
+    cfg: SiftConfig,
+    small_cap: int,
+    big_cap: int,
+) -> jnp.ndarray:
+    """Size-bucketed descriptors: small windows for most keypoints.
+
+    The sampling half-width is data dependent (~19..44 px, median ~27);
+    a single fixed window must cover the max, wasting ~2.4x samples on
+    the typical keypoint.  Keypoints with ``half_w <= desc_small_half``
+    are compacted into a small-window pass (correct because masks discard
+    samples beyond each keypoint's own half_w); the rest — plus any
+    small-group overflow, which the big window also computes correctly —
+    take the full-window pass.  Both groups' capacities come from the
+    dataset audit.
+    """
+    caps = cfg.capacities
+    k = kps.capacity
+    rows_dim, cols_dim = mag_stack.shape[-2:]
+    (_layer, _px, _py, _ang, _cos, _sin, _hw, half_w) = _window_params(
+        kps, cfg, rows_dim, cols_dim
+    )
+    is_small = kps.valid & (half_w <= caps.desc_small_half)
+    small_rank = jnp.cumsum(is_small.astype(jnp.int32)) - 1
+    in_small = is_small & (small_rank < small_cap)
+    in_big = kps.valid & ~in_small
+
+    big_int = jnp.iinfo(jnp.int32).max
+    arange = jnp.arange(k, dtype=jnp.int32)
+    idx_small = jnp.argsort(jnp.where(in_small, arange, big_int))[:small_cap]
+    idx_big = jnp.argsort(jnp.where(in_big, arange, big_int))[:big_cap]
+
+    def take(idx, member):
+        sub = Keypoints(*[f[idx] for f in kps])
+        return sub._replace(valid=member[idx])
+
+    d_small = compute_descriptors_chunked(
+        mag_stack, ang_stack, take(idx_small, in_small), octave, cfg,
+        half_cap=caps.desc_small_half,
+    )
+    d_big = compute_descriptors_chunked(
+        mag_stack, ang_stack, take(idx_big, in_big), octave, cfg,
+    )
+
+    # scatter back; filler indices may collide with real rows, so each
+    # group's scatter is masked by its own membership before merging
+    full_small = jnp.zeros((k, d_small.shape[-1]), jnp.float32)
+    full_small = full_small.at[idx_small].set(d_small)
+    full_big = jnp.zeros((k, d_big.shape[-1]), jnp.float32)
+    full_big = full_big.at[idx_big].set(d_big)
+    desc = jnp.where(in_small[:, None], full_small,
+                     jnp.where(in_big[:, None], full_big, 0.0))
+    return desc, jnp.sum(in_big)

@@ -37,6 +37,7 @@ from vfx_image_stitching_tpu.models.sift.localize import (
 )
 from vfx_image_stitching_tpu.models.sift.orientation import assign_orientations
 from vfx_image_stitching_tpu.models.sift.descriptor import (
+    compute_descriptors_bucketed,
     compute_descriptors_chunked,
 )
 from vfx_image_stitching_tpu.models.sift.keypoints import (
@@ -76,6 +77,7 @@ def sift_keypoints_and_descriptors(
     per_desc: List[jnp.ndarray] = []
     cand_counts, oriented_counts, cand_caps, oriented_caps = [], [], [], []
     loc_counts, loc_caps = [], []
+    desc_big_counts, desc_big_caps = [], []
     for o in range(num_octaves):
         dog = dogs[o]
         h_o, w_o = dog.shape[-2:]
@@ -93,7 +95,19 @@ def sift_keypoints_and_descriptors(
         o_cap = caps.scaled_oriented(o)
         kps_c = compact(kps, o_cap)
         kps_c = convert_keypoints_to_input_image_size(kps_c)
-        desc = compute_descriptors_chunked(mag, ang, kps_c, o, cfg)
+        if caps.desc_bucketed:
+            big_cap = min(caps._table(caps.desc_big_caps, o), o_cap)
+            desc, big_count = compute_descriptors_bucketed(
+                mag, ang, kps_c, o, cfg,
+                small_cap=min(caps._table(caps.desc_small_caps, o), o_cap),
+                big_cap=big_cap,
+            )
+            desc_big_counts.append(big_count)
+            desc_big_caps.append(big_cap)
+        else:
+            desc = compute_descriptors_chunked(mag, ang, kps_c, o, cfg)
+            desc_big_counts.append(jnp.int32(0))
+            desc_big_caps.append(1)
         per_kps.append(kps_c)
         per_desc.append(desc)
         cand_counts.append(jnp.sum(cand_valid))
@@ -111,6 +125,8 @@ def sift_keypoints_and_descriptors(
         "loc_caps": jnp.asarray(loc_caps),
         "oriented_counts": jnp.stack(oriented_counts),
         "oriented_caps": jnp.asarray(oriented_caps),
+        "desc_big_counts": jnp.stack(desc_big_counts),
+        "desc_big_caps": jnp.asarray(desc_big_caps),
         "final_count": kps.count(),
         "final_cap": jnp.asarray(caps.max_keypoints),
     }

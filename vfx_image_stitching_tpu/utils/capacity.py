@@ -38,11 +38,13 @@ def audit_sift_capacities(
         _, _, stats = fn(jnp.asarray(img), cfg)
         stats = {k: np.asarray(v) for k, v in jax.device_get(stats).items()}
         finals.append(int(stats["final_count"]))
-        for key in ("cand_counts", "loc_counts", "oriented_counts"):
+        for key in ("cand_counts", "loc_counts", "oriented_counts",
+                    "desc_big_counts"):
             agg[key] = np.maximum(agg[key], stats[key]) if key in agg else stats[key]
         agg["cand_caps"] = stats["cand_caps"]
         agg["loc_caps"] = stats["loc_caps"]
         agg["oriented_caps"] = stats["oriented_caps"]
+        agg["desc_big_caps"] = stats["desc_big_caps"]
     agg["final_counts"] = np.asarray(finals)
     agg["final_cap"] = np.asarray(int(cfg.capacities.max_keypoints))
 
@@ -50,6 +52,7 @@ def audit_sift_capacities(
         (agg["cand_counts"] >= agg["cand_caps"]).any()
         or (agg["loc_counts"] >= agg["loc_caps"]).any()
         or (agg["oriented_counts"] >= agg["oriented_caps"]).any()
+        or (agg["desc_big_counts"] >= agg["desc_big_caps"]).any()
         or (agg["final_counts"] >= agg["final_cap"]).any()
     )
     if overflow:
