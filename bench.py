@@ -2,12 +2,16 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-North star (BASELINE.json): 18-image parrington SIFT stitch end-to-end
-< 1 s on one chip vs ~1446 s reference CPU.  Until the SIFT backend lands,
-the headline is the Harris 18-image parrington stitch vs its 19.38 s
-reference baseline.  Warm-cache wall-clock is reported (one untimed warmup
-run to exclude XLA compile, which is cached across processes via the
-persistent compilation cache).
+Headline: 18-image parrington SIFT stitch end-to-end (reference CPU:
+1446.45 s published, 2019 s rerun in this environment).  Warm-cache
+wall-clock is reported (one untimed warmup run excludes XLA compile).
+Extras carry parity data: aligned RMSE vs the author's goldens for
+parrington (a known 4-way RANSAC vote tie shifts one seam ~1 px, see
+PARITY.md) and for grail (exact parity, RMSE ~2 = JPEG noise).
+
+Note: the dev harness tunnels device IO at ~50 MB/s / 50 ms RTT, which
+taxes the load/compose phases; on a directly attached chip the same code
+is measurably faster.
 """
 
 from __future__ import annotations
