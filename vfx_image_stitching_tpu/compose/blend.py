@@ -18,7 +18,7 @@ the fold itself is a ``lax.scan`` over steps.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax

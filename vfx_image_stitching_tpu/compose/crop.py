@@ -9,8 +9,6 @@ returns the input unchanged.  Mask reductions run on device; the final
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

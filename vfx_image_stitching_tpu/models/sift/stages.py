@@ -9,7 +9,7 @@ lists, returning fixed-capacity :class:`Keypoints` sets.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax.numpy as jnp
 

@@ -10,7 +10,7 @@ device work is enqueued before the previous results are pulled).
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 from vfx_image_stitching_tpu.config import DEFAULT_CROP_MARGINS, StitchConfig
 from vfx_image_stitching_tpu.pipeline.stitch import StitchResult, stitch_panorama
