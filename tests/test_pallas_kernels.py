@@ -53,6 +53,39 @@ def test_orientation_histograms_vs_oracle():
         np.testing.assert_allclose(out[i], hist, rtol=2e-5, atol=2e-3, err_msg=str(i))
 
 
+def test_descriptor_variants_match():
+    """Bucketed and lane-aligned descriptor paths == the plain GEMM path."""
+    import jax
+
+    from vfx_image_stitching_tpu.config import SiftCapacities, SiftConfig
+    from vfx_image_stitching_tpu.models.sift.extract import (
+        sift_keypoints_and_descriptors,
+    )
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 255, (72, 96)).astype(np.float32)
+    fn = jax.jit(sift_keypoints_and_descriptors, static_argnames=("cfg",))
+    base_caps = dict(
+        candidate_caps=(256, 128), localized_caps=(128,),
+        oriented_caps=(128,), max_keypoints=256,
+    )
+    ref_k, ref_d, _ = fn(
+        jnp.asarray(gray),
+        SiftConfig(capacities=SiftCapacities(desc_bucketed=False, **base_caps)),
+    )
+    vref = np.asarray(ref_k.valid)
+    for caps in [
+        SiftCapacities(desc_bucketed=True, **base_caps),
+        SiftCapacities(desc_bucketed=False, desc_lane_align=True, **base_caps),
+    ]:
+        k2, d2, _ = fn(jnp.asarray(gray), SiftConfig(capacities=caps))
+        v2 = np.asarray(k2.valid)
+        assert v2.sum() == vref.sum()
+        np.testing.assert_array_equal(
+            np.asarray(ref_d)[vref], np.asarray(d2)[v2]
+        )
+
+
 def test_descriptor_kernel_matches_xla_path():
     """Tiled Pallas descriptor kernel vs the XLA two-hot GEMM, K=8.
 

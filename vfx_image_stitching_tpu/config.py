@@ -77,6 +77,9 @@ class SiftCapacities:
     desc_small_half: int = 28
     desc_small_caps: Tuple[int, ...] = (2048, 640, 224, 128)
     desc_big_caps: Tuple[int, ...] = (1024, 256, 128, 128)
+    # round descriptor window slices up to the 128-lane width (aligned
+    # copies; ~1.4x more masked samples)
+    desc_lane_align: bool = False
     # bf16 one-hot operands for the descriptor GEMM (halves the HBM
     # traffic of the hot spot).  Descriptor bins sum hundreds of
     # bf16-rounded contributions, so quantized values can shift by ~1-2

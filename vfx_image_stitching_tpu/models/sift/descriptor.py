@@ -128,8 +128,13 @@ def compute_descriptors(
     half_w = jnp.minimum(half_w, diag)
     half_w = jnp.minimum(half_w, half_cap)
 
-    magw, rows, cols = _window_gather(mag_stack, layer, pt_y, pt_x, half_cap)
-    angw, _, _ = _window_gather(ang_stack, layer, pt_y, pt_x, half_cap)
+    lane_align = caps.desc_lane_align
+    magw, rows, cols = _window_gather(
+        mag_stack, layer, pt_y, pt_x, half_cap, lane_align
+    )
+    angw, _, _ = _window_gather(
+        ang_stack, layer, pt_y, pt_x, half_cap, lane_align
+    )
 
     ys = rows - pt_y[:, None]                       # (K, S) row offsets
     xs = cols - pt_x[:, None]                       # (K, S) col offsets
@@ -172,7 +177,7 @@ def compute_descriptors(
     of = ob - o0
 
     k = wm.shape[0]
-    s2 = s * s
+    s2 = wm.shape[1] * wm.shape[2]
     # reference row split: c1 = wm*rf to row r0+2, (wm - c1) to row r0+1
     c1 = wm * rf
     r6 = _two_hot(

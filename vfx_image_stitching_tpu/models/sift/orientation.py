@@ -34,25 +34,28 @@ def _pad_stack(stack: jnp.ndarray, min_h: int, min_w: int) -> jnp.ndarray:
 
 def _window_gather(
     stack: jnp.ndarray, layer: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
-    half: int,
+    half: int, lane_align: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(K, S, S) windows centered near (cy, cx) plus their absolute coords.
+    """(K, S, W) windows centered near (cy, cx) plus their absolute coords.
 
     Slice starts are clamped; masks must be built from the returned
-    absolute coordinates, not from the nominal center.
+    absolute coordinates, not from the nominal center.  With
+    ``lane_align`` the slice width rounds up to a multiple of 128 (TPU
+    lane width) — wider but aligned copies.
     """
     s = 2 * half + 1
-    stack = _pad_stack(stack, s, s)
+    w = ((s + 127) // 128) * 128 if lane_align else s
+    stack = _pad_stack(stack, s, w)
     hp, wp = stack.shape[-2:]
     sy = jnp.clip(cy - half, 0, hp - s)
-    sx = jnp.clip(cx - half, 0, wp - s)
+    sx = jnp.clip(cx - half, 0, wp - w)
 
     def one(l, yy, xx):
-        return jax.lax.dynamic_slice(stack, (l, yy, xx), (1, s, s))[0]
+        return jax.lax.dynamic_slice(stack, (l, yy, xx), (1, s, w))[0]
 
     win = jax.vmap(one)(layer, sy, sx)
     rows = sy[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
-    cols = sx[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+    cols = sx[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
     return win, rows, cols
 
 
