@@ -71,13 +71,23 @@ def _gather_project(img_bgr: jnp.ndarray, winner: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(img_bgr.shape)
 
 
+@functools.lru_cache(maxsize=64)
+def _device_winner_stack(h: int, w: int, focals: Tuple[float, ...]):
+    """Device-resident stacked index maps, cached per (shape, focals).
+
+    The maps are ~14 MB for an 18-image dataset; re-uploading them every
+    call would dominate the load phase on slow host-device links.
+    """
+    winners = np.stack([cylindrical_index_map(h, w, f) for f in focals])
+    return jnp.asarray(winners)
+
+
 def cylindrical_project_batch(
     batch_bgr: jnp.ndarray, focals: Tuple[float, ...]
 ) -> jnp.ndarray:
     """Project a (N, H, W, 3) uint8 batch with per-image focals on device."""
     n, h, w = batch_bgr.shape[:3]
-    winners = np.stack([cylindrical_index_map(h, w, f) for f in focals])
-    return _gather_project_batch(batch_bgr, jnp.asarray(winners))
+    return _gather_project_batch(batch_bgr, _device_winner_stack(h, w, tuple(focals)))
 
 
 @jax.jit
