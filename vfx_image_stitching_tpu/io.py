@@ -89,10 +89,16 @@ def load_bgr(path: str) -> Optional[np.ndarray]:
 
 
 def save_bgr(path: str, img: np.ndarray) -> None:
-    """Write a BGR uint8 image (cv2.imwrite parity for .jpg output)."""
+    """Write a BGR uint8 image (cv2.imwrite parity for .jpg output).
+
+    Raises OSError on failure — cv2.imwrite only returns False (e.g. on a
+    read-only directory), which callers otherwise cannot distinguish from
+    success.
+    """
     img = np.asarray(img, dtype=np.uint8)
     if _HAVE_CV2:
-        cv2.imwrite(path, img)
+        if not cv2.imwrite(path, img):
+            raise OSError(f"could not write image: {path}")
         return
     from PIL import Image  # pragma: no cover
 

@@ -49,7 +49,12 @@ def run_interactive(backend: str) -> None:
 
     result = rectangle_crop(res.mosaic, 0, margin)
     save_path = os.path.join(folder, f"panoroma_{backend}.jpg")
-    save_bgr(save_path, result)
+    try:
+        save_bgr(save_path, result)
+    except (OSError, PermissionError):
+        # read-only dataset folder: fall back to the working directory
+        save_path = os.path.abspath(f"panoroma_{backend}.jpg")
+        save_bgr(save_path, result)
     print(f"全景拼接完成，輸出：{save_path}")
 
 

@@ -205,13 +205,10 @@ def _stitch_inner(
     if verbose:
         print(f"Total: {t4 - t0:.2f} s")
 
-    if save_path is None and folder:
-        save_path = os.path.join(folder, f"panoroma_{cfg.backend}.jpg")
+    # save only when the caller provides a path; the reference's
+    # write-into-the-input-folder behavior lives in the CLI drivers
     if save_path:
-        try:
-            save_bgr(save_path, panorama)
-        except (OSError, PermissionError):  # read-only dataset dirs
-            pass
+        save_bgr(save_path, panorama)
 
     return StitchResult(
         panorama=panorama,
