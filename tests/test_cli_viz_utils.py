@@ -79,6 +79,24 @@ def test_headless_harris_demo(tmp_path):
     assert os.path.exists(out)
 
 
+@requires_reference
+@requires_cv2
+def test_profile_trace_writes_artifacts(tmp_path):
+    from vfx_image_stitching_tpu.config import StitchConfig
+    from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama
+
+    cfg = StitchConfig(backend="harris", profile_dir=str(tmp_path / "trace"))
+    stitch_panorama(
+        os.path.join(REFERENCE_DIR, "wind"), backend="harris",
+        crop_margin=24, cfg=cfg, save_path=None,
+    )
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(tmp_path / "trace") for f in fs
+    ]
+    assert files, "profiler trace directory is empty"
+
+
 def test_oracle_fixture_wellformed():
     with open(os.path.join(REPO_ROOT, "tests", "data",
                            "oracle_sift_shifts.json")) as f:
