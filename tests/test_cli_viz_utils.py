@@ -104,3 +104,21 @@ def test_oracle_fixture_wellformed():
     assert set(data) == {"out", "parrington", "grail"}
     assert len(data["parrington"]["shifts"]) == 17
     assert len(data["grail"]["pairs"]) == 17
+
+
+def test_capacity_overflow_report():
+    import numpy as np
+
+    from vfx_image_stitching_tpu.utils.capacity import capacity_overflow_report
+
+    ok = {
+        "cand_counts": np.array([[10, 5], [3, 2]]),
+        "cand_caps": np.array([64, 32]),
+        "final_count": np.array([7, 9]),
+        "final_cap": np.array(128),
+    }
+    assert capacity_overflow_report(ok) == []
+
+    bad = dict(ok, final_count=np.array([7, 128]))
+    msgs = capacity_overflow_report(bad)
+    assert len(msgs) == 1 and "final keypoints" in msgs[0]

@@ -48,7 +48,12 @@ def _blend_pair(
         blended,
         jnp.where(any_a[None, :, None], a, jnp.where(any_b[None, :, None], b, 0.0)),
     )
-    return out.astype(jnp.uint8)
+    # Non-degenerate inputs stay in [0, 255] (alpha in [0, 1]); degenerate
+    # match pairs can push alpha outside it, where NumPy's float->uint8 cast
+    # wraps mod 256 but XLA's conversion is backend-defined.  Clamp for a
+    # deterministic result (deliberate deviation from NumPy wraparound on
+    # garbage inputs only; see ADVICE r1).
+    return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))

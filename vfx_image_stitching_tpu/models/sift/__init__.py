@@ -33,6 +33,7 @@ from vfx_image_stitching_tpu.models.sift.keypoints import (
     remove_duplicate_keypoints,
 )
 from vfx_image_stitching_tpu.models.sift.extract import (
+    sift_batch_with_stats,
     compute_keypoints_and_descriptors,
     sift_extract,
     sift_batch,
@@ -42,6 +43,9 @@ from vfx_image_stitching_tpu.models.sift.stages import (
     find_scale_space_extrema,
     generate_descriptors,
     is_pixel_an_extremum,
+    localize_extremum_via_quadratic_fit,
+    compute_keypoints_with_orientations,
+    compare_keypoints,
 )
 
 __all__ = [
@@ -61,4 +65,8 @@ __all__ = [
     "find_scale_space_extrema",
     "generate_descriptors",
     "is_pixel_an_extremum",
+    "localize_extremum_via_quadratic_fit",
+    "compute_keypoints_with_orientations",
+    "compare_keypoints",
+    "sift_batch_with_stats",
 ]

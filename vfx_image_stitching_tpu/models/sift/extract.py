@@ -159,6 +159,27 @@ def sift_batch(
     return jax.lax.map(lambda im: sift_extract(im, cfg), batch)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mode"))
+def sift_batch_with_stats(
+    batch: jnp.ndarray, cfg: SiftConfig = SiftConfig(), mode: str = "map"
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """`sift_batch` that also returns per-stage occupancy stats.
+
+    The stats dict leaves gain an N-leading axis; the pipeline uses them
+    to warn when any fixed capacity is reached on user-supplied data
+    (a reached cap means truncation — see utils.capacity).
+    """
+
+    def one(im):
+        kps, desc, stats = sift_keypoints_and_descriptors(im, cfg)
+        xy = jnp.stack([kps.x, kps.y], axis=-1)
+        return xy, desc, kps.valid, stats
+
+    if mode == "vmap":
+        return jax.vmap(one)(batch)
+    return jax.lax.map(one, batch)
+
+
 @dataclasses.dataclass
 class KeyPointRecord:
     """cv2.KeyPoint-compatible record for the API-parity surface."""

@@ -5,7 +5,7 @@ float math (image_stitching_harris.py:146, sift_impl.py:28,
 image_stitching_harris.py:394), so the gray image is quantized to uint8
 with OpenCV's fixed-point weights.  OpenCV >= 5 uses 15-bit fixed point:
 ``gray = (B*3735 + G*19235 + R*9798 + 2^14) >> 15`` (verified against the
-installed cv2 — see tests/test_ops_color.py).
+installed cv2 — see tests/test_ops.py).
 """
 
 from __future__ import annotations

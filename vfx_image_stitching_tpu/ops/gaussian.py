@@ -1,7 +1,7 @@
 """Separable Gaussian blur with cv2.GaussianBlur parity.
 
 cv2 parity rules (verified against the installed OpenCV, see
-tests/test_ops_gaussian.py):
+tests/test_ops.py):
   * auto kernel size for float images: ``ksize = round(sigma*8 + 1) | 1``
     (OpenCV's ``cvRound(sigma*(depth==CV_8U?3:4)*2+1)|1`` with float depth);
   * kernel values ``exp(-i^2/(2 sigma^2))`` normalized to sum 1;

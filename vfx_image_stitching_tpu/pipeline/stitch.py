@@ -83,13 +83,16 @@ def compute_pairwise_shifts(
     (image_stitching_harris.py:479-482).
     """
     mcfg = cfg.match()
+    stats = None
     if cfg.backend == "harris":
         xy, descs, valid_kp = harris_batch(cyl, cfg.harris)
     else:
-        from vfx_image_stitching_tpu.models.sift import sift_batch
+        from vfx_image_stitching_tpu.models.sift.extract import (
+            sift_batch_with_stats,
+        )
 
         mode = os.environ.get("VFX_SIFT_BATCH_MODE", "map")
-        xy, descs, valid_kp = sift_batch(cyl, cfg.sift, mode)
+        xy, descs, valid_kp, stats = sift_batch_with_stats(cyl, cfg.sift, mode)
 
     pair_fn = jax.vmap(
         functools.partial(
@@ -103,6 +106,18 @@ def compute_pairwise_shifts(
         xy[:-1], descs[:-1], valid_kp[:-1],
         xy[1:], descs[1:], valid_kp[1:],
     )
+    if stats is not None:
+        # pulled after the pair step is dispatched; counts are a few ints
+        import warnings
+
+        from vfx_image_stitching_tpu.utils.capacity import (
+            capacity_overflow_report,
+        )
+
+        host_stats = {k: np.asarray(v) for k, v in stats.items()}
+        for msg in capacity_overflow_report(host_stats):
+            warnings.warn(f"SIFT capacity: {msg}", RuntimeWarning, stacklevel=2)
+
     shifts_np = np.asarray(shifts_d, dtype=np.float64)
     pa_np = np.asarray(pa_d, dtype=np.float64)
     pb_np = np.asarray(pb_d, dtype=np.float64)
