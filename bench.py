@@ -6,8 +6,9 @@ Headline: 18-image parrington SIFT stitch end-to-end (reference CPU:
 1446.45 s published, 2019 s rerun in this environment).  Warm-cache
 wall-clock is reported (one untimed warmup run excludes XLA compile).
 Extras carry parity data: aligned RMSE vs the author's goldens for
-parrington (a known 4-way RANSAC vote tie shifts one seam ~1 px, see
-PARITY.md) and for grail (exact parity, RMSE ~2 = JPEG noise).
+parrington and grail (both ~2 = JPEG noise; the parrington vote-tie
+seam is resolved by the knife-edge strict escalation, see PARITY.md)
+plus a warm grail time measured the same way as the headline.
 
 Note: the dev harness tunnels device IO at ~50 MB/s / 50 ms RTT, which
 taxes the load/compose phases; on a directly attached chip the same code
@@ -66,17 +67,20 @@ def run(backend: str) -> dict:
             out["rmse_vs_golden"] = round(rmse, 3)
             out["golden_align_offset"] = list(off)
 
-        # grail: the dataset where SIFT parity is exact (no vote ties)
+        # grail: warm like the headline (first run pays the per-shape
+        # compose/plan compiles; the second is the comparable number)
+        gfolder = os.path.join(DATA_ROOT, "grail")
+        stitch_panorama(gfolder, backend=backend, crop_margin=17, save_path=None)
+        t0 = time.time()
         gres = stitch_panorama(
-            os.path.join(DATA_ROOT, "grail"), backend=backend,
-            crop_margin=17, save_path=None,
+            gfolder, backend=backend, crop_margin=17, save_path=None
         )
+        out["grail_time_s"] = round(time.time() - t0, 3)
         ggolden = cv2.imread(
             os.path.join(DATA_ROOT, "Result", f"{backend}_grail_result.jpg")
         )
         if ggolden is not None:
             grmse, goff = aligned_rmse(gres.panorama, ggolden)
-            out["grail_time_s"] = round(gres.timings["total"], 3)
             out["grail_rmse_vs_golden"] = round(grmse, 3)
     except Exception:
         pass

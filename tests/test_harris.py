@@ -80,7 +80,7 @@ def test_full_pair_shift_matches_reference(ref_mod):
     shift, pa, pb, anym, count = map(
         np.asarray,
         _pair_shift(xy_a, d_a, v_a, xy_b, d_b, v_b,
-                    desc_thresh=1.0, ransac_thresh=3.0),
+                    desc_thresh=1.0, ransac_thresh=3.0)[:5],
     )
     assert int(count) == len(matches)
     assert tuple(shift) == tuple(map(float, ref_move))

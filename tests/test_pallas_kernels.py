@@ -116,6 +116,8 @@ def test_descriptor_kernel_matches_xla_path():
             0 + (rng.integers(1, 4, k) << 8) + (128 << 16), jnp.int32
         ),
         valid=jnp.asarray([True] * 6 + [False] * 2),
+        ix=jnp.zeros(k, jnp.int32),
+        iy=jnp.zeros(k, jnp.int32),
     )
     a = np.asarray(
         compute_descriptors(jnp.asarray(mag), jnp.asarray(ang), kps, 1, cfg)

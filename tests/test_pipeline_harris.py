@@ -121,3 +121,32 @@ def test_parrington_harris_end_to_end_vs_golden():
         step = res.steps[step_no - 1]
         srmse, _off = aligned_rmse(step, g, max_offset=6)
         assert srmse < 20.0, (step_no, step.shape, g.shape, srmse)
+
+
+def test_stitch_many_matches_stitch_panorama(tmp_path, reference_dir):
+    """Pipelined multi-dataset run == per-dataset runs, bit for bit."""
+    import os
+
+    import cv2
+    import numpy as np
+
+    from vfx_image_stitching_tpu.pipeline.multi import stitch_many
+    from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama
+
+    folders = []
+    src = cv2.imread(os.path.join(reference_dir, "out", "out00.jpg"))
+    src2 = cv2.imread(os.path.join(reference_dir, "out", "out01.jpg"))
+    for name, off in (("dsa", 0), ("dsb", 16)):
+        d = tmp_path / name
+        d.mkdir()
+        cv2.imwrite(str(d / "a.jpg"), src[off : off + 120, 40:180])
+        cv2.imwrite(str(d / "b.jpg"), src2[off : off + 120, 40:180])
+        (d / "pano.txt").write_text("a.jpg\n455.0\nb.jpg\n455.5\n")
+        folders.append(str(d))
+
+    multi = stitch_many(folders, backend="harris", margins={"dsa": 2, "dsb": 2})
+    for f in folders:
+        name = os.path.basename(f)
+        single = stitch_panorama(f, backend="harris", crop_margin=2)
+        assert multi[name].shifts == single.shifts
+        np.testing.assert_array_equal(multi[name].panorama, single.panorama)

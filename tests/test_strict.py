@@ -1,0 +1,112 @@
+"""Knife-edge strict escalation (models/sift/strict.py) parity tests."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tests.conftest import requires_cv2, requires_reference
+from vfx_image_stitching_tpu.config import SiftConfig
+
+
+def test_reference_vote_first_max():
+    from vfx_image_stitching_tpu.models.sift.strict import reference_vote
+
+    moves = np.array([[0.0, 0.0], [0.1, 0.0], [5.0, 5.0], [5.1, 5.0]])
+    win, votes = reference_vote(moves)
+    assert (win, votes) == (0, 2)  # two tied clusters -> first row wins
+    assert reference_vote(np.zeros((0, 2))) == (-1, 0)
+
+
+def test_translation_ransac_material_flags_decisive_rows():
+    from vfx_image_stitching_tpu.estimate.ransac import (
+        translation_ransac_material,
+    )
+
+    # cluster A: rows 0-2 (3 votes), cluster B: rows 3-4 (+ row 5 pending).
+    moves = jnp.asarray(
+        [[0, 0], [0.1, 0], [0, 0.1], [9, 9], [9.1, 9], [9, 9.1]],
+        jnp.float32,
+    )
+    matched = jnp.asarray([True, True, True, True, True, False])
+    border = jnp.asarray([False, False, False, False, False, True])
+    best, votes, anym, material, n_mat = translation_ransac_material(
+        moves, matched, border
+    )
+    # adding row 5 ties cluster B at 3 with cluster A; first-max keeps row 0
+    assert int(best) == 0 and int(votes) == 3 and bool(anym)
+    assert not bool(material[5]) and int(n_mat) == 0
+
+    # make cluster B already tied: adding row 5 flips the winner to row 3
+    matched2 = jnp.asarray([True, True, False, True, True, False])
+    best2, votes2, _, material2, n2 = translation_ransac_material(
+        moves, matched2, border
+    )
+    assert int(best2) == 0 and int(votes2) == 2
+    assert bool(material2[5]) and int(n2) == 1
+
+    # removing a cluster-A voter is material when it breaks the lead
+    border3 = jnp.asarray([True, False, False, False, False, False])
+    best3, _, _, material3, _ = translation_ransac_material(
+        moves, matched, border3
+    )
+    assert int(best3) == 0 and bool(material3[0])
+
+
+@requires_reference
+@requires_cv2
+def test_strict_keypoint_and_descriptor_bit_exact(reference_dir):
+    """Strict host re-derivation == the reference pipeline, bit for bit."""
+    import os
+    import sys
+
+    import cv2
+
+    if reference_dir not in sys.path:
+        sys.path.insert(0, reference_dir)
+    import sift_impl
+
+    from vfx_image_stitching_tpu.models.sift.strict import (
+        descriptor_strict,
+        host_dog_octaves,
+        host_gaussian_pyramid,
+        recompute_keypoint_strict,
+    )
+
+    img = cv2.imread(os.path.join(reference_dir, "out", "out00.jpg"))
+    crop = img[60:188, 80:240]
+    cfg = SiftConfig()
+
+    # reference ground truth on the crop
+    kps, descs = sift_impl.compute_keypoints_and_descriptors(crop)
+    assert len(kps) > 3
+
+    pyr = host_gaussian_pyramid(crop, cfg)
+    dogs = host_dog_octaves(pyr)
+
+    checked = 0
+    for i, kp in enumerate(kps[:20]):
+        octv, layer, scale = sift_impl.unpack_octave(kp)
+        o_orig = octv + 1
+        # reconstruct the converged cell from the exact reference values
+        ix = int(np.round(scale * kp.pt[0] * 2)) if False else None
+        # offset byte decode (sift_impl.py:208): offset = packed/255 - 0.5
+        off = ((kp.octave >> 16) & 255) / 255.0 - 0.5
+        # pt (converted) = (cell + update) * 2**o_orig * 0.5
+        cell_x = int(round(kp.pt[0] / (2.0 ** o_orig) * 2.0))
+        cell_y = int(round(kp.pt[1] / (2.0 ** o_orig) * 2.0))
+        got = recompute_keypoint_strict(
+            cell_x, cell_y, kp.octave, kp.angle, pyr, dogs, cfg
+        )
+        if got is None:
+            continue
+        (px, py), size, angle, packed = got
+        if abs(px - kp.pt[0]) > 0.5 or abs(py - kp.pt[1]) > 0.5:
+            continue  # rounded to a neighboring cell; skip
+        assert packed == kp.octave
+        np.testing.assert_allclose([px, py], kp.pt, rtol=0, atol=1e-9)
+        assert size == kp.size
+        assert angle == kp.angle
+        d = descriptor_strict((px, py), size, angle, packed, pyr, cfg)
+        np.testing.assert_array_equal(d, descs[i])
+        checked += 1
+    assert checked >= 3

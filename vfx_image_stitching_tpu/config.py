@@ -152,6 +152,11 @@ class MatchConfig:
     # top-k exact re-check width; 1 = trust the matmul distances (exact for
     # integer-valued SIFT descriptors), >1 = refine (float Harris descs)
     refine: int = 8
+    # knife-edge precision escalation: threshold/argmin decisions whose
+    # margin is below this are re-decided on host with reference-faithful
+    # f64 descriptor math (models/sift/strict.py).  0 disables.  1024 =
+    # two worst-case +-1 descriptor-component flips (2 * (2*255 + 1)).
+    borderline_margin: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,7 +175,9 @@ class StitchConfig:
     def match(self) -> MatchConfig:
         if self.backend == "harris":
             return MatchConfig(desc_thresh=1.0, refine=8)
-        return MatchConfig(desc_thresh=25000.0, refine=1)
+        return MatchConfig(
+            desc_thresh=25000.0, refine=1, borderline_margin=1024.0
+        )
 
 
 DEFAULT_CROP_MARGINS = {

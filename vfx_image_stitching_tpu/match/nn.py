@@ -43,7 +43,9 @@ def pairwise_sqdist(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     return na + nb.T - 2.0 * ab
 
 
-@functools.partial(jax.jit, static_argnames=("refine", "lowe_ratio"))
+@functools.partial(
+    jax.jit, static_argnames=("refine", "lowe_ratio", "return_dist")
+)
 def match_descriptors(
     desc_a: jnp.ndarray,
     valid_a: jnp.ndarray,
@@ -52,13 +54,17 @@ def match_descriptors(
     desc_thresh: float,
     refine: int = 8,
     lowe_ratio: Optional[float] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_dist: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Per-A-row nearest neighbor in B under an absolute threshold.
 
     Returns ``(best_idx, matched)``: for every A row, the best B index and
     whether the match is kept (valid rows, best exact distance <
     ``desc_thresh``, optional Lowe ratio for the API surface — the
-    reference stitching path never uses the ratio).
+    reference stitching path never uses the ratio).  With
+    ``return_dist=True`` also returns ``(best_dist, second_dist)`` — used
+    by the knife-edge precision-escalation path to spot decisions that
+    sit within descriptor-quantization noise of the threshold.
     """
     d2 = pairwise_sqdist(desc_a, desc_b)
     d2 = jnp.where(valid_b[None, :], d2, _BIG)
@@ -76,6 +82,12 @@ def match_descriptors(
             )
             second = jnp.min(masked, axis=-1)
             matched = matched & (best_dist < lowe_ratio * lowe_ratio * second)
+        if return_dist:
+            masked = jnp.where(
+                jnp.arange(d2.shape[1])[None, :] == best_idx[:, None], _BIG, d2
+            )
+            second = jnp.min(masked, axis=-1)
+            return best_idx, matched, best_dist, second
         return best_idx, matched
 
     refine = min(refine, desc_b.shape[0])
@@ -97,4 +109,7 @@ def match_descriptors(
     if lowe_ratio is not None:
         second = jnp.sort(exact, axis=-1)[:, 1] if refine > 1 else best_dist
         matched = matched & (best_dist < lowe_ratio * lowe_ratio * second)
+    if return_dist:
+        second = jnp.sort(exact, axis=-1)[:, 1] if refine > 1 else best_dist
+        return best_idx, matched, best_dist, second
     return best_idx, matched

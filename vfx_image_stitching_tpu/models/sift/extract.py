@@ -162,18 +162,28 @@ def sift_batch(
 @functools.partial(jax.jit, static_argnames=("cfg", "mode"))
 def sift_batch_with_stats(
     batch: jnp.ndarray, cfg: SiftConfig = SiftConfig(), mode: str = "map"
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """`sift_batch` that also returns per-stage occupancy stats.
+) -> Tuple[
+    jnp.ndarray, jnp.ndarray, jnp.ndarray,
+    Dict[str, jnp.ndarray], Dict[str, jnp.ndarray],
+]:
+    """`sift_batch` that also returns keypoint metadata + occupancy stats.
 
-    The stats dict leaves gain an N-leading axis; the pipeline uses them
-    to warn when any fixed capacity is reached on user-supplied data
-    (a reached cap means truncation — see utils.capacity).
+    ``meta`` carries (N, K) size/angle/octave — what the knife-edge
+    escalation path (models/sift/strict.py) needs to recompute a
+    descriptor on host; ``stats`` carries per-stage occupancy counts so
+    the pipeline can warn when any fixed capacity is reached on
+    user-supplied data (a reached cap means truncation — see
+    utils.capacity).  Both stay on device until sliced.
     """
 
     def one(im):
         kps, desc, stats = sift_keypoints_and_descriptors(im, cfg)
         xy = jnp.stack([kps.x, kps.y], axis=-1)
-        return xy, desc, kps.valid, stats
+        meta = {
+            "size": kps.size, "angle": kps.angle, "octave": kps.octave,
+            "ix": kps.ix, "iy": kps.iy,
+        }
+        return xy, desc, kps.valid, meta, stats
 
     if mode == "vmap":
         return jax.vmap(one)(batch)

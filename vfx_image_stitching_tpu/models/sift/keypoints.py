@@ -23,6 +23,11 @@ class Keypoints(NamedTuple):
     response: jnp.ndarray   # f32
     octave: jnp.ndarray     # i32 packed: octave + layer<<8 + offset_byte<<16
     valid: jnp.ndarray      # bool
+    # converged localization cell (octave-local ints) — lets the strict
+    # host path (models/sift/strict.py) re-derive the keypoint in
+    # reference-exact arithmetic; not part of the cv2.KeyPoint surface
+    ix: jnp.ndarray         # i32 final column of the Newton fit
+    iy: jnp.ndarray         # i32 final row of the Newton fit
 
     @property
     def capacity(self) -> int:

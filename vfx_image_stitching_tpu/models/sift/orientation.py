@@ -173,4 +173,6 @@ def assign_orientations(
         response=expand(loc.response),
         octave=expand(loc.octave_packed),
         valid=(peak_valid & loc.valid[:, None]).reshape(-1),
+        ix=expand(loc.x),
+        iy=expand(loc.y),
     )

@@ -75,7 +75,8 @@ def sharded_pairwise_shifts(
 ):
     """Run the pairwise-shift step with the image axis sharded over ``mesh``.
 
-    Returns (shifts, pair_a, pair_b, any_match, counts) device arrays.
+    Returns (shifts, pair_a, pair_b, any_match, counts, best_b, matched,
+    borderline, n_borderline) device arrays (see pipeline.stitch._pair_shift).
     """
     cfg = cfg or StitchConfig(backend="harris")
     batch = jax.device_put(batch, NamedSharding(mesh, P(axis_name)))

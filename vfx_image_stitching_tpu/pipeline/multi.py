@@ -1,19 +1,45 @@
 """Multi-panorama throughput: stitch several datasets in one run.
 
 BASELINE config "Batched multi-panorama throughput (wind/out/parrington/
-grail in one run)".  Datasets with identical image shapes share compiled
-executables; host planning/IO for the next dataset overlaps with device
-compute of the current one via a simple pipelined loop (async dispatch —
-device work is enqueued before the previous results are pulled).
+grail in one run)".  Unlike a sequential loop of ``stitch_panorama``
+calls (which synchronizes per phase), this pipeline keeps the device
+queue full across datasets:
+
+  1. every dataset's JPEG decode runs in parallel threads, each image
+     ``device_put`` as soon as it decodes (uploads hide behind decodes);
+  2. cylindrical projection, feature extraction and the pair step are
+     *dispatched* for every dataset before any result is pulled — JAX
+     dispatch is asynchronous, so dataset B's features run on device
+     while the host finalizes dataset A; same-shape datasets
+     (parrington/grail: both 18x384x512) share compiled executables;
+  3. per dataset, in order: pull the pair results (the only sync),
+     escalate knife edges, plan the canvas on host, dispatch compose;
+  4. mosaics are pulled once, cropped, and returned.
+
+For multi-chip scale-out the same shift stage runs under the 2-D
+(pano, images) mesh (parallel/mesh.py: sharded_multi_pano_shifts);
+this module is the single-chip throughput path.
+
+Benchmarked by scripts/bench_multi.py (pipelined vs sequential).
 """
 
 from __future__ import annotations
 
+import concurrent.futures as cf
+import os
 import time
 from typing import Dict, Optional, Sequence
 
+import numpy as np
+
 from vfx_image_stitching_tpu.config import DEFAULT_CROP_MARGINS, StitchConfig
-from vfx_image_stitching_tpu.pipeline.stitch import StitchResult, stitch_panorama
+from vfx_image_stitching_tpu.pipeline.stitch import (
+    StitchResult,
+    _resolve_cfg,
+    dispatch_pair_step,
+    extract_features,
+    finalize_pairwise_shifts,
+)
 
 
 def stitch_many(
@@ -23,27 +49,76 @@ def stitch_many(
     cfg: Optional[StitchConfig] = None,
     verbose: bool = False,
 ) -> Dict[str, StitchResult]:
-    """Stitch every dataset folder; returns per-folder results.
+    """Stitch every dataset folder in one pipelined run.
 
     Margins default to the author's per-dataset golden margins
-    (README.md:52-54 of the reference).
+    (README.md:52-54 of the reference).  Returns per-folder results in
+    input order.
     """
-    import os
+    import jax.numpy as jnp
 
+    from vfx_image_stitching_tpu.compose import (
+        compose_mosaic,
+        plan_compose,
+        rectangle_crop,
+    )
+    from vfx_image_stitching_tpu.compose.crop import crop_bounds
+    from vfx_image_stitching_tpu.estimate import correct_drift
+    from vfx_image_stitching_tpu.geometry import cylindrical_project_batch
+    from vfx_image_stitching_tpu.io import load_dataset_device
+
+    cfg = _resolve_cfg(backend, cfg)
     margins = margins or {}
-    results: Dict[str, StitchResult] = {}
     t0 = time.time()
-    for folder in folders:
-        name = os.path.basename(os.path.normpath(folder))
-        margin = margins.get(name, DEFAULT_CROP_MARGINS.get(name, 15))
-        results[name] = stitch_panorama(
-            folder,
-            backend=backend,
-            crop_margin=margin,
-            cfg=cfg,
-            save_path=None,
-            verbose=verbose,
+
+    names = [os.path.basename(os.path.normpath(f)) for f in folders]
+
+    # phase 1: decode + upload every dataset concurrently
+    with cf.ThreadPoolExecutor(max_workers=max(1, len(folders))) as pool:
+        loads = [pool.submit(load_dataset_device, f) for f in folders]
+        loaded = [f.result() for f in loads]
+
+    # phase 2: dispatch projection + features + pair step for all datasets
+    staged = []
+    for (batch, valid, focals, shape) in loaded:
+        cyl = cylindrical_project_batch(batch, tuple(focals))
+        feats = extract_features(cyl, cfg)
+        xy, descs, valid_kp, meta, stats = feats
+        pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
+        staged.append((cyl, valid, shape, feats, pair_out))
+
+    # phase 3+4: finalize each dataset in order (first pull syncs that
+    # dataset only; later datasets keep computing behind it)
+    results: Dict[str, StitchResult] = {}
+    for name, (cyl, valid, (h, w, _c), feats, pair_out) in zip(names, staged):
+        td0 = time.time()
+        xy, descs, valid_kp, meta, stats = feats
+        shifts, pairs, counts = finalize_pairwise_shifts(
+            cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg
         )
+        n = cyl.shape[0]
+        corrected = correct_drift(shifts, n_images=n)
+        plan = plan_compose(h, w, n, list(valid), corrected, pairs)
+        mosaic_d = compose_mosaic(cyl, plan)
+        bounds = crop_bounds(mosaic_d, cfg.black_threshold)
+        mosaic = np.asarray(mosaic_d)
+        margin = margins.get(name, DEFAULT_CROP_MARGINS.get(name, 15))
+        panorama = rectangle_crop(
+            mosaic, cfg.black_threshold, margin, bounds=bounds
+        )
+        td1 = time.time()
+        results[name] = StitchResult(
+            panorama=panorama,
+            mosaic=mosaic,
+            shifts=shifts,
+            corrected_shifts=corrected,
+            pairs=pairs,
+            timings={"finalize_compose": td1 - td0, "total": td1 - t0},
+        )
+        if verbose:
+            print(f"{name}: {panorama.shape} in {td1 - td0:.2f} s "
+                  f"(cumulative {td1 - t0:.2f} s)")
+
     if verbose:
         print(f"stitched {len(folders)} panoramas in {time.time() - t0:.2f} s")
     return results

@@ -51,24 +51,107 @@ class StitchResult:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("desc_thresh", "ransac_thresh", "refine")
+    jax.jit,
+    static_argnames=("desc_thresh", "ransac_thresh", "refine", "margin"),
 )
 def _pair_shift(
     xy_a, desc_a, valid_a, xy_b, desc_b, valid_b,
     desc_thresh: float, ransac_thresh: float, refine: int = 8,
+    margin: float = 0.0,
 ):
-    """Shift + winning pair for one adjacent image pair (fixed shape)."""
-    best_b, matched = match_descriptors(
-        desc_a, valid_a, desc_b, valid_b, desc_thresh, refine=refine
+    """Shift + winning pair for one adjacent image pair (fixed shape).
+
+    With ``margin > 0`` the outputs gain the knife-edge escalation
+    signals: per-row best-B index / matched / borderline / material
+    masks and the material count (see models/sift/strict.py).  A row is
+    *borderline* when its threshold decision or its argmin choice sits
+    within ``margin`` of flipping under +-1 descriptor quantization; it
+    is *material* when that flip would change the winning hypothesis —
+    the O(K^2) materiality analysis runs on device inside the vote
+    (estimate/ransac.py), so the host is only involved when a seam
+    genuinely hangs on quantization noise.
+    """
+    best_b, matched, best_dist, second = match_descriptors(
+        desc_a, valid_a, desc_b, valid_b, desc_thresh, refine=refine,
+        return_dist=True,
     )
     pts_a = xy_a.astype(jnp.float32)
     pts_b = xy_b[best_b].astype(jnp.float32)
     moves = pts_a - pts_b
-    best_i, votes, any_match = translation_ransac(moves, matched, ransac_thresh)
+    if margin > 0:
+        borderline = valid_a & (
+            (jnp.abs(best_dist - desc_thresh) < margin)
+            | (matched & ((second - best_dist) < margin))
+        )
+        from vfx_image_stitching_tpu.estimate.ransac import (
+            translation_ransac_material,
+        )
+
+        best_i, votes, any_match, material, n_material = (
+            translation_ransac_material(moves, matched, borderline,
+                                        ransac_thresh)
+        )
+    else:
+        best_i, votes, any_match = translation_ransac(
+            moves, matched, ransac_thresh
+        )
+        borderline = jnp.zeros_like(matched)
+        material = borderline
+        n_material = jnp.int32(0)
     shift = jnp.where(any_match, moves[best_i], jnp.zeros(2, jnp.float32))
     pair_a = jnp.where(any_match, pts_a[best_i], jnp.zeros(2, jnp.float32))
     pair_b = jnp.where(any_match, pts_b[best_i], jnp.zeros(2, jnp.float32))
-    return shift, pair_a, pair_b, any_match, jnp.sum(matched)
+    return (
+        shift, pair_a, pair_b, any_match, jnp.sum(matched),
+        best_b, matched, borderline, material, n_material,
+    )
+
+
+def _resolve_cfg(backend: str, cfg: Optional[StitchConfig]) -> StitchConfig:
+    """Normalize backend selection + environment knobs into the config."""
+    cfg = cfg or StitchConfig(backend=backend)
+    if cfg.backend != backend:
+        cfg = dataclasses.replace(cfg, backend=backend)
+    if os.environ.get("VFX_USE_PALLAS") == "1" and not cfg.sift.use_pallas:
+        cfg = dataclasses.replace(
+            cfg, sift=dataclasses.replace(cfg.sift, use_pallas=True)
+        )
+    return cfg
+
+
+def extract_features(cyl: jnp.ndarray, cfg: StitchConfig):
+    """Dispatch batched feature extraction (async; device arrays).
+
+    Returns ``(xy, descs, valid_kp, meta, stats)``; ``meta``/``stats``
+    are ``None`` for the Harris backend.
+    """
+    if cfg.backend == "harris":
+        xy, descs, valid_kp = harris_batch(cyl, cfg.harris)
+        return xy, descs, valid_kp, None, None
+    from vfx_image_stitching_tpu.models.sift.extract import (
+        sift_batch_with_stats,
+    )
+
+    mode = os.environ.get("VFX_SIFT_BATCH_MODE", "map")
+    return sift_batch_with_stats(cyl, cfg.sift, mode)
+
+
+def dispatch_pair_step(xy, descs, valid_kp, cfg: StitchConfig):
+    """Dispatch the vmapped adjacent-pair step (async; 9-tuple)."""
+    mcfg = cfg.match()
+    pair_fn = jax.vmap(
+        functools.partial(
+            _pair_shift,
+            desc_thresh=mcfg.desc_thresh,
+            ransac_thresh=mcfg.ransac_thresh,
+            refine=mcfg.refine,
+            margin=mcfg.borderline_margin,
+        )
+    )
+    return pair_fn(
+        xy[:-1], descs[:-1], valid_kp[:-1],
+        xy[1:], descs[1:], valid_kp[1:],
+    )
 
 
 def compute_pairwise_shifts(
@@ -82,47 +165,102 @@ def compute_pairwise_shifts(
     reference's degraded ((0,0), dummy pair) entries
     (image_stitching_harris.py:479-482).
     """
+    xy, descs, valid_kp, meta, stats = extract_features(cyl, cfg)
+    pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
+    return finalize_pairwise_shifts(
+        cyl, xy, valid_kp, meta, stats, pair_out, valid, cfg
+    )
+
+
+def finalize_pairwise_shifts(
+    cyl, xy, valid_kp, meta, stats, pair_out, valid: Sequence[bool],
+    cfg: StitchConfig,
+) -> Tuple[List[Tuple[float, float]], List[Optional[tuple]], np.ndarray]:
+    """Pull pair results, warn on capacity hits, escalate knife edges."""
     mcfg = cfg.match()
-    stats = None
-    if cfg.backend == "harris":
-        xy, descs, valid_kp = harris_batch(cyl, cfg.harris)
-    else:
-        from vfx_image_stitching_tpu.models.sift.extract import (
-            sift_batch_with_stats,
-        )
+    (
+        shifts_d, pa_d, pb_d, any_d, counts_d,
+        bestb_d, matched_d, border_d, material_d, nmaterial_d,
+    ) = pair_out
 
-        mode = os.environ.get("VFX_SIFT_BATCH_MODE", "map")
-        xy, descs, valid_kp, stats = sift_batch_with_stats(cyl, cfg.sift, mode)
+    # ONE small device->host transfer for everything scalar-sized: on a
+    # tunneled/high-RTT link every np.asarray is a round trip, so the
+    # shifts/pairs/flags/counts and the capacity stats ride one bundle;
+    # the per-row arrays (best_b/matched/material, meta) stay on device
+    # and are sliced only for the (rare) escalated pairs.
+    n1 = int(shifts_d.shape[0])
+    parts = [
+        shifts_d.reshape(-1), pa_d.reshape(-1), pb_d.reshape(-1),
+        any_d.astype(jnp.float32), counts_d.astype(jnp.float32),
+        nmaterial_d.astype(jnp.float32),
+    ]
+    stat_keys = sorted(stats) if stats is not None else []
+    for key in stat_keys:
+        parts.append(stats[key].reshape(-1).astype(jnp.float32))
+    bundle = np.asarray(jnp.concatenate(parts))
 
-    pair_fn = jax.vmap(
-        functools.partial(
-            _pair_shift,
-            desc_thresh=mcfg.desc_thresh,
-            ransac_thresh=mcfg.ransac_thresh,
-            refine=mcfg.refine,
-        )
-    )
-    shifts_d, pa_d, pb_d, any_d, counts_d = pair_fn(
-        xy[:-1], descs[:-1], valid_kp[:-1],
-        xy[1:], descs[1:], valid_kp[1:],
-    )
+    shifts_np = bundle[: 2 * n1].reshape(n1, 2).astype(np.float64)
+    pa_np = bundle[2 * n1 : 4 * n1].reshape(n1, 2).astype(np.float64)
+    pb_np = bundle[4 * n1 : 6 * n1].reshape(n1, 2).astype(np.float64)
+    any_np = bundle[6 * n1 : 7 * n1] != 0.0
+    counts = bundle[7 * n1 : 8 * n1].astype(np.int64)
+    nmaterial_np = bundle[8 * n1 : 9 * n1].astype(np.int64)
+    off = 9 * n1
     if stats is not None:
-        # pulled after the pair step is dispatched; counts are a few ints
         import warnings
 
         from vfx_image_stitching_tpu.utils.capacity import (
             capacity_overflow_report,
         )
 
-        host_stats = {k: np.asarray(v) for k, v in stats.items()}
+        host_stats = {}
+        for key in stat_keys:
+            size = int(np.prod(stats[key].shape))
+            host_stats[key] = bundle[off : off + size].reshape(
+                stats[key].shape
+            )
+            off += size
         for msg in capacity_overflow_report(host_stats):
             warnings.warn(f"SIFT capacity: {msg}", RuntimeWarning, stacklevel=2)
 
-    shifts_np = np.asarray(shifts_d, dtype=np.float64)
-    pa_np = np.asarray(pa_d, dtype=np.float64)
-    pb_np = np.asarray(pb_d, dtype=np.float64)
-    any_np = np.asarray(any_d)
-    counts = np.asarray(counts_d)
+    # knife-edge precision escalation (models/sift/strict.py): pairs where
+    # a borderline decision is MATERIAL (flipping it would change the
+    # winning hypothesis — decided on device inside the vote) are
+    # re-decided on host with reference-exact arithmetic + an f64 re-vote.
+    if meta is not None and mcfg.borderline_margin > 0:
+        nmaterial = nmaterial_np
+        if nmaterial.any():
+            from vfx_image_stitching_tpu.models.sift.strict import (
+                escalate_pair,
+            )
+
+            for i in np.nonzero(nmaterial > 0)[0]:
+                i = int(i)
+                if not (valid[i] and valid[i + 1]):
+                    continue
+                meta_a = {k: np.asarray(v[i]) for k, v in meta.items()}
+                meta_b = {k: np.asarray(v[i + 1]) for k, v in meta.items()}
+                esc = escalate_pair(
+                    np.asarray(cyl[i]), np.asarray(cyl[i + 1]),
+                    np.asarray(xy[i]), meta_a,
+                    np.asarray(xy[i + 1]), meta_b,
+                    np.asarray(valid_kp[i]),
+                    np.asarray(bestb_d[i]),
+                    np.asarray(matched_d[i]),
+                    np.asarray(border_d[i]),
+                    np.asarray(material_d[i]),
+                    cfg=cfg.sift,
+                    desc_thresh=mcfg.desc_thresh,
+                    ransac_thresh=mcfg.ransac_thresh,
+                )
+                if esc is None:
+                    continue  # strict pass confirmed the device result
+                shift, pair, anym = esc
+                any_np[i] = anym
+                if anym:
+                    shifts_np[i] = shift
+                    pa_np[i] = pair[0]
+                    pb_np[i] = pair[1]
 
     shifts: List[Tuple[float, float]] = []
     pairs: List[Optional[tuple]] = []
@@ -156,13 +294,7 @@ def stitch_panorama(
     verbose: bool = False,
 ) -> StitchResult:
     """Stitch one dataset folder end to end."""
-    cfg = cfg or StitchConfig(backend=backend)
-    if cfg.backend != backend:
-        cfg = dataclasses.replace(cfg, backend=backend)
-    if os.environ.get("VFX_USE_PALLAS") == "1" and not cfg.sift.use_pallas:
-        cfg = dataclasses.replace(
-            cfg, sift=dataclasses.replace(cfg.sift, use_pallas=True)
-        )
+    cfg = _resolve_cfg(backend, cfg)
     margin = cfg.crop_margin if crop_margin is None else crop_margin
 
     from vfx_image_stitching_tpu.utils.profiling import profile_trace
@@ -184,7 +316,10 @@ def _stitch_inner(
     n = batch.shape[0]
 
     cyl = cylindrical_project_batch(batch, tuple(focals))
-    cyl.block_until_ready()
+    if verbose:
+        # phase-accurate timer costs a device sync (a round trip on
+        # tunneled links); without verbose the load timer records dispatch
+        cyl.block_until_ready()
     t1 = time.time()
     timings["load_project"] = t1 - t0
     if verbose:
