@@ -2,24 +2,33 @@
 
 The suite must run without a TPU; sharding tests use the virtual CPU mesh.
 These env vars must be set before jax initializes a backend.
+
+``VFX_TEST_TPU=1`` flips the suite to the real chip instead: the CPU
+force is skipped and only ``-m tpu``-marked tests (compiled-Mosaic Pallas
+kernels, on-chip extractors, one small end-to-end stitch) make sense —
+run ``VFX_TEST_TPU=1 python -m pytest tests -m tpu``.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+TPU_RUN = os.environ.get("VFX_TEST_TPU") == "1"
 
-# The environment's TPU plugin prepends itself to JAX_PLATFORMS, so the env
-# var alone does not stick; force CPU through the config (must run before
-# any backend initialization).
+if not TPU_RUN:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_RUN:
+    # The environment's TPU plugin prepends itself to JAX_PLATFORMS, so the
+    # env var alone does not stick; force CPU through the config (must run
+    # before any backend initialization).
+    jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache (the SIFT graph is compile-heavy)
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -57,6 +66,23 @@ requires_reference = pytest.mark.skipif(
     not have_reference(), reason="reference repo not mounted"
 )
 requires_cv2 = pytest.mark.skipif(not have_cv2(), reason="cv2 unavailable")
+
+
+def pytest_collection_modifyitems(config, items):
+    """tpu-marked tests only run on a real chip (VFX_TEST_TPU=1)."""
+    on_tpu = TPU_RUN and jax.default_backend() == "tpu"
+    skip_tpu = pytest.mark.skip(
+        reason="needs a real TPU (set VFX_TEST_TPU=1, run -m tpu)"
+    )
+    skip_cpu_only = pytest.mark.skip(
+        reason="CPU-mesh test; not meaningful under VFX_TEST_TPU=1"
+    )
+    for item in items:
+        if "tpu" in item.keywords:
+            if not on_tpu:
+                item.add_marker(skip_tpu)
+        elif TPU_RUN:
+            item.add_marker(skip_cpu_only)
 
 
 @pytest.fixture(scope="session")

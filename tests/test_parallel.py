@@ -27,6 +27,63 @@ def test_sharded_pairwise_shifts_matches_unsharded():
         np.testing.assert_allclose(np.asarray(s), np.asarray(l), atol=1e-5)
 
 
+def test_sharded_sift_matches_unsharded():
+    """Flagship SIFT backend under an images-sharded mesh == unsharded."""
+    import __graft_entry__ as ge
+
+    rng = np.random.default_rng(1)
+    batch = jnp.asarray(rng.integers(0, 256, (8, 32, 24, 3), dtype=np.uint8))
+    cfg = ge._small_sift_config()
+
+    mesh = make_mesh(8)
+    sharded = sharded_pairwise_shifts(batch, mesh, cfg)
+
+    from vfx_image_stitching_tpu.parallel.mesh import _pairwise_shift_step
+
+    local = _pairwise_shift_step(batch, cfg)
+    for s, l in zip(jax.device_get(sharded), jax.device_get(local)):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(l), atol=1e-4)
+
+
+def test_sharded_uneven_batch_matches_unsharded():
+    """11 images on 8 devices (GSPMD pads the ragged shard) == unsharded."""
+    rng = np.random.default_rng(2)
+    batch = jnp.asarray(rng.integers(0, 256, (11, 64, 48, 3), dtype=np.uint8))
+    cfg = StitchConfig(backend="harris")
+
+    mesh = make_mesh(8)
+    sharded = sharded_pairwise_shifts(batch, mesh, cfg)
+
+    from vfx_image_stitching_tpu.parallel.mesh import _pairwise_shift_step
+
+    local = _pairwise_shift_step(batch, cfg)
+    for s, l in zip(jax.device_get(sharded), jax.device_get(local)):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(l), atol=1e-5)
+
+
+def test_sharded_multi_pano_matches_unsharded():
+    """2-D (pano, images) mesh path == the unsharded multi-pano step."""
+    from vfx_image_stitching_tpu.parallel.mesh import (
+        _multi_pano_step,
+        make_mesh_2d,
+        sharded_multi_pano_shifts,
+    )
+
+    rng = np.random.default_rng(3)
+    batch = jnp.asarray(
+        rng.integers(0, 256, (2, 4, 64, 48, 3), dtype=np.uint8)
+    )
+    cfg = StitchConfig(backend="harris")
+
+    mesh2 = make_mesh_2d(8)
+    assert mesh2.devices.shape == (2, 4)
+    sharded = sharded_multi_pano_shifts(batch, mesh2, cfg)
+
+    local = _multi_pano_step(batch, cfg)
+    for s, l in zip(jax.device_get(sharded), jax.device_get(local)):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(l), atol=1e-5)
+
+
 def test_graft_entry_contracts():
     import __graft_entry__ as ge
 

@@ -75,12 +75,27 @@ def sharded_pairwise_shifts(
 ):
     """Run the pairwise-shift step with the image axis sharded over ``mesh``.
 
+    An image count that does not divide the mesh size is padded with blank
+    images up to the next multiple (XLA's sharding layout requires equal
+    shards); the pair outputs are trimmed back to the real N-1 pairs, which
+    never read a padding image.
+
     Returns (shifts, pair_a, pair_b, any_match, counts, best_b, matched,
     borderline, n_borderline) device arrays (see pipeline.stitch._pair_shift).
     """
     cfg = cfg or StitchConfig(backend="harris")
+    n = batch.shape[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    if n % n_dev:
+        pad = n_dev - n % n_dev
+        batch = jnp.concatenate(
+            [batch, jnp.zeros((pad,) + batch.shape[1:], batch.dtype)]
+        )
     batch = jax.device_put(batch, NamedSharding(mesh, P(axis_name)))
-    return _pairwise_shift_step(batch, cfg)
+    out = _pairwise_shift_step(batch, cfg)
+    if batch.shape[0] != n:
+        out = tuple(o[: n - 1] for o in out)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
