@@ -224,10 +224,21 @@ def compute_descriptors_chunked(
     chunk = min(cfg.capacities.desc_chunk, k)
     if k % chunk != 0:
         chunk = math.gcd(k, chunk) or k
+    out_dim = cfg.window_width * cfg.window_width * cfg.desc_bins
 
     def one(chunk_kps):
-        return compute_descriptors(
-            mag_stack, ang_stack, chunk_kps, octave, cfg, half_cap
+        # capacities are audited worst-case; a typical image fills well
+        # under half its keypoint slots, and compaction packs the valid
+        # ones to the front — chunks of pure filler skip the whole
+        # window-gather + GEMM (descriptors of invalid slots are zero
+        # by masking anyway)
+        return jax.lax.cond(
+            jnp.any(chunk_kps.valid),
+            lambda kk: compute_descriptors(
+                mag_stack, ang_stack, kk, octave, cfg, half_cap
+            ),
+            lambda kk: jnp.zeros((chunk, out_dim), jnp.float32),
+            chunk_kps,
         )
 
     reshaped = Keypoints(*[f.reshape(k // chunk, chunk) for f in kps])
