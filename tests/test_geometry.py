@@ -63,3 +63,17 @@ def test_batch_matches_single():
     for i in range(3):
         s = np.asarray(cylindrical_project(jnp.asarray(batch[i]), focals[i]))
         np.testing.assert_array_equal(b[i], s)
+
+
+def test_host_projection_bit_identical_to_device():
+    """The escalation path's host gather must match the device bytes."""
+    from vfx_image_stitching_tpu.geometry.cylindrical import (
+        cylindrical_project_host,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    for focal in (55.0, 80.25, 120.0):
+        dev = np.asarray(cylindrical_project(jnp.asarray(img), focal))
+        host = cylindrical_project_host(img, focal)
+        np.testing.assert_array_equal(dev, host)

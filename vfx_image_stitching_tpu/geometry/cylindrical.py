@@ -71,6 +71,23 @@ def _gather_project(img_bgr: jnp.ndarray, winner: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(img_bgr.shape)
 
 
+def cylindrical_project_host(img_bgr: np.ndarray, focal: float) -> np.ndarray:
+    """Host (NumPy) projection, bit-identical to the device gather.
+
+    Shares ``cylindrical_index_map`` with the device path, so a uint8
+    gather gives the same bytes.  Used by the knife-edge escalation
+    (models/sift/strict.py) to rebuild a cylindrical image from the
+    already-decoded source instead of pulling it off the device — on
+    high-RTT links the pull costs more than the gather.
+    """
+    h, w = img_bgr.shape[:2]
+    winner = cylindrical_index_map(h, w, focal)
+    flat = img_bgr.reshape(h * w, -1)
+    picked = flat[np.clip(winner, 0, h * w - 1)]
+    out = np.where((winner >= 0)[:, None], picked, 0).astype(img_bgr.dtype)
+    return out.reshape(img_bgr.shape)
+
+
 @functools.lru_cache(maxsize=64)
 def _device_winner_stack(h: int, w: int, focals: Tuple[float, ...]):
     """Device-resident stacked index maps, cached per (shape, focals).

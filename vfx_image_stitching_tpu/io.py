@@ -131,7 +131,7 @@ def load_dataset(
 
 
 def load_dataset_device(
-    folder: str, pano_file: Optional[str] = None
+    folder: str, pano_file: Optional[str] = None, with_host: bool = False
 ):
     """Load a dataset straight onto the device, overlapping decode with
     transfer.
@@ -140,7 +140,10 @@ def load_dataset_device(
     transfers are asynchronous), so on slow host-device links the upload
     hides behind the remaining decodes.  Returns
     ``(cyl_input_batch (device, N,H,W,3 u8), valid mask, focals, shape)``
-    where unreadable images are zero-filled with ``valid=False``.
+    where unreadable images are zero-filled with ``valid=False``.  With
+    ``with_host=True`` a fifth element carries the decoded host arrays
+    (``None`` per unreadable image) — the knife-edge escalation path uses
+    them to avoid pulling images back off the device.
     """
     import concurrent.futures as cf
 
@@ -158,6 +161,7 @@ def load_dataset_device(
 
     n = len(resolved)
     device_imgs: List[Optional[object]] = [None] * n
+    host_imgs: List[Optional[np.ndarray]] = [None] * n
     shapes = [None] * n
     with cf.ThreadPoolExecutor(max_workers=min(8, n)) as pool:
         futs = {pool.submit(load_bgr, p): i for i, p in enumerate(resolved)}
@@ -167,6 +171,8 @@ def load_dataset_device(
             if img is not None:
                 shapes[i] = img.shape
                 device_imgs[i] = jax.device_put(img)  # async transfer
+                if with_host:
+                    host_imgs[i] = img
 
     shape_set = {s for s in shapes if s is not None}
     if len(shape_set) > 1:
@@ -182,6 +188,8 @@ def load_dataset_device(
                 zero = jnp.zeros(shape, jnp.uint8)
             device_imgs[i] = zero
     batch = jnp.stack(device_imgs)
+    if with_host:
+        return batch, valid, focals, shape, host_imgs
     return batch, valid, focals, shape
 
 

@@ -32,7 +32,7 @@ from vfx_image_stitching_tpu.models.sift.extrema import (
     extract_candidates,
 )
 from vfx_image_stitching_tpu.models.sift.localize import (
-    localize_candidates,
+    localize_candidates_chunked,
     compact_localized,
 )
 from vfx_image_stitching_tpu.models.sift.orientation import assign_orientations
@@ -85,7 +85,7 @@ def sift_keypoints_and_descriptors(
         layer, y, x, cand_valid = extract_candidates(
             dog, cfg.image_border_width, thresh, cand_cap
         )
-        loc = localize_candidates(dog, layer, y, x, cand_valid, o, cfg)
+        loc = localize_candidates_chunked(dog, layer, y, x, cand_valid, o, cfg)
         loc_cap = min(caps.scaled_localized(o), cand_cap)
         loc_counts.append(jnp.sum(loc.valid))
         loc_caps.append(loc_cap)

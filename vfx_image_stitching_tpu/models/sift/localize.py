@@ -214,6 +214,59 @@ def localize_candidates(
     )
 
 
+def localize_candidates_chunked(
+    dog: jnp.ndarray,
+    layer: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    octave: int,
+    cfg: SiftConfig,
+    chunk: int = 512,
+) -> Localized:
+    """`localize_candidates` with all-filler chunks skipped.
+
+    Candidate capacities are audited worst-case and `extract_candidates`
+    compacts real candidates to the front, so the tail chunks of a
+    typical image are pure filler — `lax.cond` skips their cube gathers
+    and Newton iterations entirely.  Semantics are unchanged: filler
+    rows come out ``valid=False`` either way.
+    """
+    k = layer.shape[0]
+    if k <= chunk:
+        return localize_candidates(dog, layer, y, x, cand_valid, octave, cfg)
+    if k % chunk:
+        import math
+
+        chunk = math.gcd(k, chunk) or k
+
+    def one(args):
+        l_c, y_c, x_c, v_c = args
+
+        def live(a):
+            return localize_candidates(dog, a[0], a[1], a[2], a[3], octave, cfg)
+
+        def dead(a):
+            zf = jnp.zeros((chunk,), jnp.float32)
+            zi = jnp.zeros((chunk,), jnp.int32)
+            return Localized(
+                x=zi, y=zi, layer=zi, pt_x=zf, pt_y=zf, size=zf,
+                response=zf, octave_packed=zi,
+                valid=jnp.zeros((chunk,), bool),
+            )
+
+        return jax.lax.cond(jnp.any(v_c), live, dead, args)
+
+    out = jax.lax.map(
+        one,
+        (
+            layer.reshape(-1, chunk), y.reshape(-1, chunk),
+            x.reshape(-1, chunk), cand_valid.reshape(-1, chunk),
+        ),
+    )
+    return Localized(*[f.reshape(k) for f in out])
+
+
 def compact_localized(loc: Localized, out_capacity: int) -> Localized:
     """Keep valid candidates (original order) in ``out_capacity`` slots.
 

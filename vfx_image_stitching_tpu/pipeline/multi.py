@@ -75,26 +75,32 @@ def stitch_many(
 
     # phase 1: decode + upload every dataset concurrently
     with cf.ThreadPoolExecutor(max_workers=max(1, len(folders))) as pool:
-        loads = [pool.submit(load_dataset_device, f) for f in folders]
+        loads = [
+            pool.submit(load_dataset_device, f, with_host=True)
+            for f in folders
+        ]
         loaded = [f.result() for f in loads]
 
     # phase 2: dispatch projection + features + pair step for all datasets
     staged = []
-    for (batch, valid, focals, shape) in loaded:
+    for (batch, valid, focals, shape, host_imgs) in loaded:
         cyl = cylindrical_project_batch(batch, tuple(focals))
         feats = extract_features(cyl, cfg)
         xy, descs, valid_kp, meta, stats = feats
         pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
-        staged.append((cyl, valid, shape, feats, pair_out))
+        staged.append((cyl, valid, shape, feats, pair_out, host_imgs, focals))
 
     # phase 3+4: finalize each dataset in order (first pull syncs that
     # dataset only; later datasets keep computing behind it)
     results: Dict[str, StitchResult] = {}
-    for name, (cyl, valid, (h, w, _c), feats, pair_out) in zip(names, staged):
+    for name, (cyl, valid, (h, w, _c), feats, pair_out, host_imgs, focals) in (
+        zip(names, staged)
+    ):
         td0 = time.time()
         xy, descs, valid_kp, meta, stats = feats
         shifts, pairs, counts = finalize_pairwise_shifts(
-            cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg
+            cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
+            host_images=host_imgs, focals=focals,
         )
         n = cyl.shape[0]
         corrected = correct_drift(shifts, n_images=n)

@@ -158,6 +158,8 @@ def compute_pairwise_shifts(
     cyl: jnp.ndarray,
     valid: Sequence[bool],
     cfg: StitchConfig,
+    host_images: Optional[Sequence] = None,
+    focals: Optional[Sequence[float]] = None,
 ) -> Tuple[List[Tuple[float, float]], List[Optional[tuple]], np.ndarray]:
     """Batched feature extraction + adjacent-pair shift estimation.
 
@@ -168,13 +170,16 @@ def compute_pairwise_shifts(
     xy, descs, valid_kp, meta, stats = extract_features(cyl, cfg)
     pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
     return finalize_pairwise_shifts(
-        cyl, xy, valid_kp, meta, stats, pair_out, valid, cfg
+        cyl, xy, valid_kp, meta, stats, pair_out, valid, cfg,
+        host_images=host_images, focals=focals,
     )
 
 
 def finalize_pairwise_shifts(
     cyl, xy, valid_kp, meta, stats, pair_out, valid: Sequence[bool],
     cfg: StitchConfig,
+    host_images: Optional[Sequence] = None,
+    focals: Optional[Sequence[float]] = None,
 ) -> Tuple[List[Tuple[float, float]], List[Optional[tuple]], np.ndarray]:
     """Pull pair results, warn on capacity hits, escalate knife edges."""
     mcfg = cfg.match()
@@ -227,40 +232,83 @@ def finalize_pairwise_shifts(
     # a borderline decision is MATERIAL (flipping it would change the
     # winning hypothesis — decided on device inside the vote) are
     # re-decided on host with reference-exact arithmetic + an f64 re-vote.
-    if meta is not None and mcfg.borderline_margin > 0:
-        nmaterial = nmaterial_np
-        if nmaterial.any():
-            from vfx_image_stitching_tpu.models.sift.strict import (
-                escalate_pair,
-            )
+    if meta is not None and mcfg.borderline_margin > 0 and nmaterial_np.any():
+        from vfx_image_stitching_tpu.models.sift.strict import escalate_pair
 
-            for i in np.nonzero(nmaterial > 0)[0]:
-                i = int(i)
-                if not (valid[i] and valid[i + 1]):
-                    continue
-                meta_a = {k: np.asarray(v[i]) for k, v in meta.items()}
-                meta_b = {k: np.asarray(v[i + 1]) for k, v in meta.items()}
-                esc = escalate_pair(
-                    np.asarray(cyl[i]), np.asarray(cyl[i + 1]),
-                    np.asarray(xy[i]), meta_a,
-                    np.asarray(xy[i + 1]), meta_b,
-                    np.asarray(valid_kp[i]),
-                    np.asarray(bestb_d[i]),
-                    np.asarray(matched_d[i]),
-                    np.asarray(border_d[i]),
-                    np.asarray(material_d[i]),
-                    cfg=cfg.sift,
-                    desc_thresh=mcfg.desc_thresh,
-                    ransac_thresh=mcfg.ransac_thresh,
-                )
-                if esc is None:
-                    continue  # strict pass confirmed the device result
-                shift, pair, anym = esc
-                any_np[i] = anym
-                if anym:
-                    shifts_np[i] = shift
-                    pa_np[i] = pair[0]
-                    pb_np[i] = pair[1]
+        # ONE fixed-shape transfer for every escalation input.  Slicing
+        # per escalated pair would cost a ~50 ms round trip per array on
+        # tunneled links (measured ~0.65 s/pair) and, worse, a remote
+        # recompile whenever a different pair set escalates; pulling the
+        # full (N, K)/(N-1, K) arrays is ~2.5 MB with one executable.
+        # octave packs into < 2^24 so the f32 ride is exact.
+        n_img, kcap = xy.shape[:2]
+        meta_keys = sorted(meta)
+        parts2 = [xy.reshape(-1)]
+        for key in meta_keys:
+            parts2.append(meta[key].reshape(-1).astype(jnp.float32))
+        parts2.append(valid_kp.reshape(-1).astype(jnp.float32))
+        for arr in (bestb_d, matched_d, border_d, material_d):
+            parts2.append(arr.reshape(-1).astype(jnp.float32))
+        esc_bundle = np.asarray(jnp.concatenate(parts2))
+
+        pos = 0
+
+        def take(shape):
+            nonlocal pos
+            size = int(np.prod(shape))
+            out = esc_bundle[pos : pos + size].reshape(shape)
+            pos += size
+            return out
+
+        xy_np = take((n_img, kcap, 2)).astype(np.float64)
+        meta_np = {key: take((n_img, kcap)) for key in meta_keys}
+        validkp_np = take((n_img, kcap)) != 0.0
+        bestb_np = take((n1, kcap)).astype(np.int64)
+        matched_np = take((n1, kcap)) != 0.0
+        border_np = take((n1, kcap)) != 0.0
+        material_np = take((n1, kcap)) != 0.0
+
+        cyl_host_cache: dict = {}
+
+        def cyl_host(i: int) -> np.ndarray:
+            if i not in cyl_host_cache:
+                if host_images is not None and focals is not None and (
+                    host_images[i] is not None
+                ):
+                    from vfx_image_stitching_tpu.geometry.cylindrical import (
+                        cylindrical_project_host,
+                    )
+
+                    cyl_host_cache[i] = cylindrical_project_host(
+                        host_images[i], float(focals[i])
+                    )
+                else:
+                    cyl_host_cache[i] = np.asarray(cyl[i])
+            return cyl_host_cache[i]
+
+        for i in np.nonzero(nmaterial_np > 0)[0]:
+            i = int(i)
+            if not (valid[i] and valid[i + 1]):
+                continue
+            meta_a = {k: v[i] for k, v in meta_np.items()}
+            meta_b = {k: v[i + 1] for k, v in meta_np.items()}
+            esc = escalate_pair(
+                cyl_host(i), cyl_host(i + 1),
+                xy_np[i], meta_a, xy_np[i + 1], meta_b,
+                validkp_np[i], bestb_np[i], matched_np[i],
+                border_np[i], material_np[i],
+                cfg=cfg.sift,
+                desc_thresh=mcfg.desc_thresh,
+                ransac_thresh=mcfg.ransac_thresh,
+            )
+            if esc is None:
+                continue  # strict pass confirmed the device result
+            shift, pair, anym = esc
+            any_np[i] = anym
+            if anym:
+                shifts_np[i] = shift
+                pa_np[i] = pair[0]
+                pb_np[i] = pair[1]
 
     shifts: List[Tuple[float, float]] = []
     pairs: List[Optional[tuple]] = []
@@ -312,7 +360,9 @@ def _stitch_inner(
     t0 = time.time()
     from vfx_image_stitching_tpu.io import load_dataset_device
 
-    batch, valid, focals, (h, w, _c) = load_dataset_device(folder, pano_file)
+    batch, valid, focals, (h, w, _c), host_imgs = load_dataset_device(
+        folder, pano_file, with_host=True
+    )
     n = batch.shape[0]
 
     cyl = cylindrical_project_batch(batch, tuple(focals))
@@ -325,7 +375,9 @@ def _stitch_inner(
     if verbose:
         print(f"Timer: {t1 - t0:.2f} s load + cylindrical projection")
 
-    shifts, pairs, counts = compute_pairwise_shifts(cyl, list(valid), cfg)
+    shifts, pairs, counts = compute_pairwise_shifts(
+        cyl, list(valid), cfg, host_images=host_imgs, focals=focals
+    )
     t2 = time.time()
     timings["features_ransac"] = t2 - t1
     if verbose:
