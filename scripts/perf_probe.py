@@ -79,6 +79,32 @@ def main() -> None:
             "pair_s": round(t3 - t2, 4),
         }))
 
+    # -- optional experiment: alternate descriptor chunk size
+    alt_chunk = os.environ.get("VFX_PROBE_DESC_CHUNK")
+    if alt_chunk:
+        import dataclasses
+
+        caps = dataclasses.replace(
+            cfg.sift.capacities, desc_chunk=int(alt_chunk)
+        )
+        cfg2 = dataclasses.replace(
+            cfg, sift=dataclasses.replace(cfg.sift, capacities=caps)
+        )
+        dev = jnp.asarray(cyl_host)
+        dev.block_until_ready()
+        for rep in range(3):
+            perturbed = cyl_host.copy()
+            perturbed[1, rep, rep, 0] ^= 1
+            dev = jnp.asarray(perturbed)
+            dev.block_until_ready()
+            t0 = time.time()
+            feats = extract_features(dev, cfg2)
+            float(jnp.sum(feats[1][:, 0, 0]))
+            print(json.dumps({
+                "probe": f"extract_chunk{alt_chunk}", "rep": rep,
+                "extract_s": round(time.time() - t0, 4),
+            }))
+
 
 if __name__ == "__main__":
     main()

@@ -35,7 +35,9 @@ from vfx_image_stitching_tpu.models.sift.localize import (
     localize_candidates_chunked,
     compact_localized,
 )
-from vfx_image_stitching_tpu.models.sift.orientation import assign_orientations
+from vfx_image_stitching_tpu.models.sift.orientation import (
+    assign_orientations_chunked,
+)
 from vfx_image_stitching_tpu.models.sift.descriptor import (
     compute_descriptors_bucketed,
     compute_descriptors_chunked,
@@ -91,7 +93,7 @@ def sift_keypoints_and_descriptors(
         loc_caps.append(loc_cap)
         loc = compact_localized(loc, loc_cap)
         mag, ang = gradient_fields(pyramid[o])
-        kps = assign_orientations(mag, ang, loc, o, cfg)
+        kps = assign_orientations_chunked(mag, ang, loc, o, cfg)
         o_cap = caps.scaled_oriented(o)
         kps_c = compact(kps, o_cap)
         kps_c = convert_keypoints_to_input_image_size(kps_c)

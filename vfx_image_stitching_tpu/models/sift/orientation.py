@@ -72,6 +72,52 @@ def _masked_histogram(
     )
 
 
+def assign_orientations_chunked(
+    mag_stack: jnp.ndarray,
+    ang_stack: jnp.ndarray,
+    loc: Localized,
+    octave: int,
+    cfg: SiftConfig,
+    chunk: int = 512,
+) -> Keypoints:
+    """`assign_orientations` with all-filler candidate chunks skipped.
+
+    Localized capacities are audited worst-case and `compact_localized`
+    packs valid candidates to the front, so tail chunks of a typical
+    image are filler — `lax.cond` skips their window histograms.  The
+    candidate-major emission order is preserved (chunks are processed in
+    order and each emits its own candidate-major block).
+    """
+    k = loc.x.shape[0]
+    if k <= chunk:
+        return assign_orientations(mag_stack, ang_stack, loc, octave, cfg)
+    if k % chunk:
+        import math
+
+        chunk = math.gcd(k, chunk) or k
+    p_cap = cfg.capacities.max_orientations
+
+    def one(loc_c):
+        def live(l):
+            return assign_orientations(mag_stack, ang_stack, l, octave, cfg)
+
+        def dead(l):
+            m = chunk * p_cap
+            zf = jnp.zeros((m,), jnp.float32)
+            zi = jnp.zeros((m,), jnp.int32)
+            return Keypoints(
+                x=zf, y=zf, size=zf, angle=zf, response=zf, octave=zi,
+                valid=jnp.zeros((m,), bool), ix=zi, iy=zi,
+            )
+
+        return jax.lax.cond(jnp.any(loc_c.valid), live, dead, loc_c)
+
+    out = jax.lax.map(
+        one, Localized(*[f.reshape(-1, chunk) for f in loc])
+    )
+    return Keypoints(*[f.reshape(k * p_cap) for f in out])
+
+
 def assign_orientations(
     mag_stack: jnp.ndarray,
     ang_stack: jnp.ndarray,

@@ -55,6 +55,7 @@ def stitch_many(
     (README.md:52-54 of the reference).  Returns per-folder results in
     input order.
     """
+    import jax
     import jax.numpy as jnp
 
     from vfx_image_stitching_tpu.compose import (
@@ -62,7 +63,6 @@ def stitch_many(
         plan_compose,
         rectangle_crop,
     )
-    from vfx_image_stitching_tpu.compose.crop import crop_bounds
     from vfx_image_stitching_tpu.estimate import correct_drift
     from vfx_image_stitching_tpu.geometry import cylindrical_project_batch
     from vfx_image_stitching_tpu.io import load_dataset_device
@@ -106,8 +106,12 @@ def stitch_many(
         corrected = correct_drift(shifts, n_images=n)
         plan = plan_compose(h, w, n, list(valid), corrected, pairs)
         mosaic_d = compose_mosaic(cyl, plan)
-        bounds = crop_bounds(mosaic_d, cfg.black_threshold)
-        mosaic = np.asarray(mosaic_d)
+        from vfx_image_stitching_tpu.compose.crop import _content_bounds
+
+        bounds, mosaic = jax.device_get((
+            _content_bounds(mosaic_d, jnp.uint8(cfg.black_threshold)),
+            mosaic_d,
+        ))
         margin = margins.get(name, DEFAULT_CROP_MARGINS.get(name, 15))
         panorama = rectangle_crop(
             mosaic, cfg.black_threshold, margin, bounds=bounds

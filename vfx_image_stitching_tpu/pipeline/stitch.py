@@ -391,12 +391,14 @@ def _stitch_inner(
         mosaic_d, steps = out
     else:
         mosaic_d, steps = out, None
-    # bounds reductions run on the device-resident mosaic; only then is
-    # the mosaic pulled to the host once (transfers dominate on slow links)
-    from vfx_image_stitching_tpu.compose.crop import crop_bounds
+    # bounds reductions run on the device-resident mosaic; bounds + mosaic
+    # then come back in ONE device_get (two sequential pulls cost an extra
+    # round trip on tunneled links)
+    from vfx_image_stitching_tpu.compose.crop import _content_bounds
 
-    bounds = crop_bounds(mosaic_d, cfg.black_threshold)
-    mosaic = np.asarray(mosaic_d)
+    bounds, mosaic = jax.device_get((
+        _content_bounds(mosaic_d, jnp.uint8(cfg.black_threshold)), mosaic_d,
+    ))
     t3 = time.time()
     timings["compose"] = t3 - t2
 
