@@ -42,16 +42,24 @@ def run(backend: str) -> dict:
     folder = os.path.join(DATA_ROOT, "parrington")
     # warmup (compile + cache)
     stitch_panorama(folder, backend=backend, crop_margin=15, save_path=None)
-    t0 = time.time()
-    res = stitch_panorama(folder, backend=backend, crop_margin=15, save_path=None)
-    elapsed = time.time() - t0
+    # median of 3 warm runs: the dev harness tunnels device IO through an
+    # HTTP relay whose latency jitters by several hundred ms run-to-run
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        res = stitch_panorama(
+            folder, backend=backend, crop_margin=15, save_path=None
+        )
+        times.append(time.time() - t0)
+    elapsed = sorted(times)[len(times) // 2]
 
     baseline = BASELINES[backend]
     out = {
-        "metric": f"parrington 18-img {backend} stitch end-to-end (warm)",
+        "metric": f"parrington 18-img {backend} stitch end-to-end (warm, median of 3)",
         "value": round(elapsed, 4),
         "unit": "s",
         "vs_baseline": round(baseline / elapsed, 1),
+        "warm_runs_s": [round(t, 4) for t in times],
     }
     # parity extras (not part of the one-line contract, kept in the dict)
     try:

@@ -159,6 +159,22 @@ def load_dataset_device(
         raise ValueError("no valid entries in pano.txt")
     resolved = [resolve_image_path(p, folder) for p in img_paths]
 
+    device_imgs, host_imgs, valid, shape = _decode_upload(
+        resolved, with_host
+    )
+    batch = jnp.stack(device_imgs)
+    if with_host:
+        return batch, valid, focals, shape, host_imgs
+    return batch, valid, focals, shape
+
+
+def _decode_upload(resolved: List[str], with_host: bool):
+    """Threaded JPEG decode with per-image async device_put."""
+    import concurrent.futures as cf
+
+    import jax
+    import jax.numpy as jnp
+
     n = len(resolved)
     device_imgs: List[Optional[object]] = [None] * n
     host_imgs: List[Optional[np.ndarray]] = [None] * n
@@ -187,10 +203,52 @@ def load_dataset_device(
             if zero is None:
                 zero = jnp.zeros(shape, jnp.uint8)
             device_imgs[i] = zero
-    batch = jnp.stack(device_imgs)
-    if with_host:
-        return batch, valid, focals, shape, host_imgs
-    return batch, valid, focals, shape
+    return device_imgs, host_imgs, valid, shape
+
+
+def load_dataset_device_grouped(
+    folder: str, pano_file: Optional[str] = None, group_target: int = 6
+):
+    """Grouped loader for the pipelined extract: per-group device stacks.
+
+    Each group's stack only waits for its own uploads, so the feature
+    extractor can start on group 1 while later groups are still in
+    flight — on slow host-device links this hides most of the upload
+    behind compute.  Group size is the largest divisor of N that is
+    <= ``group_target`` (every group shares one executable shape).
+
+    Returns ``(batches, valid, focals, shape, host_imgs)``.
+    """
+    import jax.numpy as jnp
+
+    if not folder.endswith(("/", "\\")):
+        folder = folder + "/"
+    if pano_file is None:
+        pano_file = os.path.join(folder, "pano.txt")
+    img_paths, focals = read_pano_data(pano_file)
+    if not img_paths:
+        raise ValueError("no valid entries in pano.txt")
+    resolved = [resolve_image_path(p, folder) for p in img_paths]
+
+    device_imgs, host_imgs, valid, shape = _decode_upload(resolved, True)
+    n = len(device_imgs)
+    g = pick_group_size(n, group_target)
+    batches = [
+        jnp.stack(device_imgs[a : a + g]) for a in range(0, n, g)
+    ]
+    return batches, valid, focals, shape, host_imgs
+
+
+def pick_group_size(n: int, target: int = 6) -> int:
+    """Largest divisor of ``n`` that is <= target (1 = no grouping).
+
+    Used by the pipelined extract: groups must tile the dataset exactly
+    so every group reuses one compiled executable shape.
+    """
+    for g in range(min(target, n), 1, -1):
+        if n % g == 0:
+            return g
+    return n  # prime or tiny n: a single group (monolithic)
 
 
 def stack_dataset(

@@ -136,6 +136,25 @@ def extract_features(cyl: jnp.ndarray, cfg: StitchConfig):
     return sift_batch_with_stats(cyl, cfg.sift, mode)
 
 
+def _concat_feats(feats_list):
+    """Concatenate per-group extract_features outputs along the image axis."""
+    if len(feats_list) == 1:
+        return feats_list[0]
+
+    def cat(idx):
+        return jnp.concatenate([f[idx] for f in feats_list])
+
+    def cat_dict(idx):
+        if feats_list[0][idx] is None:
+            return None
+        keys = feats_list[0][idx]
+        return {
+            k: jnp.concatenate([f[idx][k] for f in feats_list]) for k in keys
+        }
+
+    return cat(0), cat(1), cat(2), cat_dict(3), cat_dict(4)
+
+
 def dispatch_pair_step(xy, descs, valid_kp, cfg: StitchConfig):
     """Dispatch the vmapped adjacent-pair step (async; 9-tuple)."""
     mcfg = cfg.match()
@@ -358,14 +377,28 @@ def _stitch_inner(
 ) -> StitchResult:
     timings = {}
     t0 = time.time()
-    from vfx_image_stitching_tpu.io import load_dataset_device
+    from vfx_image_stitching_tpu.io import load_dataset_device_grouped
 
-    batch, valid, focals, (h, w, _c), host_imgs = load_dataset_device(
-        folder, pano_file, with_host=True
+    batches, valid, focals, (h, w, _c), host_imgs = (
+        load_dataset_device_grouped(folder, pano_file)
     )
-    n = batch.shape[0]
+    n = int(sum(b.shape[0] for b in batches))
 
-    cyl = cylindrical_project_batch(batch, tuple(focals))
+    # pipelined load->extract: project + extract each group as soon as its
+    # stack is ready; group 1's features compute while later groups upload
+    cyl_groups, feats_groups = [], []
+    idx = 0
+    for b in batches:
+        gsize = int(b.shape[0])
+        cyl_g = cylindrical_project_batch(
+            b, tuple(focals[idx : idx + gsize])
+        )
+        idx += gsize
+        cyl_groups.append(cyl_g)
+        feats_groups.append(extract_features(cyl_g, cfg))
+    cyl = (
+        jnp.concatenate(cyl_groups) if len(cyl_groups) > 1 else cyl_groups[0]
+    )
     if verbose:
         # phase-accurate timer costs a device sync (a round trip on
         # tunneled links); without verbose the load timer records dispatch
@@ -375,8 +408,11 @@ def _stitch_inner(
     if verbose:
         print(f"Timer: {t1 - t0:.2f} s load + cylindrical projection")
 
-    shifts, pairs, counts = compute_pairwise_shifts(
-        cyl, list(valid), cfg, host_images=host_imgs, focals=focals
+    xy, descs, valid_kp, meta, stats = _concat_feats(feats_groups)
+    pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
+    shifts, pairs, counts = finalize_pairwise_shifts(
+        cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
+        host_images=host_imgs, focals=focals,
     )
     t2 = time.time()
     timings["features_ransac"] = t2 - t1
