@@ -27,11 +27,12 @@ GOLDEN_NAME = {"out": "out", "wind": "wind", "parrington": "prtn", "grail": "gra
 
 # Documented deviations (PARITY.md "Known deviations") where the author's
 # golden JPEG is not reproducible even by the reference code in this
-# environment, or a RANSAC vote tie legitimately shifts one seam:
+# environment (demonstrated by scripts/out_golden_evidence.py).  The
+# round-1 parrington vote-tie entry is gone: the knife-edge strict
+# escalation now reproduces the author's seam (RMSE ~2.4).
 KNOWN_DEVIATIONS = {
     ("harris", "out"): "author-era OpenCV shifted content bounds by 4 px",
     ("sift", "out"): "author-era OpenCV shifted content bounds by 4 px",
-    ("sift", "parrington"): "pair-13 4-way vote tie moves one seam <=1 px",
 }
 
 

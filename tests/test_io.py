@@ -86,3 +86,48 @@ def test_load_dataset_out(reference_dir):
     assert batch.shape == (2, 571, 428, 3)  # out imgs are 571 high x 428 wide
     assert batch.dtype == np.uint8
     assert valid.all()
+
+
+def test_pick_group_size():
+    from vfx_image_stitching_tpu.io import pick_group_size
+
+    assert pick_group_size(18) == 6
+    assert pick_group_size(12) == 6
+    assert pick_group_size(10) == 5
+    assert pick_group_size(2) == 2
+    assert pick_group_size(1) == 1
+    assert pick_group_size(7) == 7    # prime: one monolithic group
+    assert pick_group_size(16) == 4   # largest divisor <= 6
+
+
+@requires_cv2
+def test_load_dataset_device_grouped(tmp_path):
+    import cv2
+
+    from vfx_image_stitching_tpu.io import (
+        load_dataset_device,
+        load_dataset_device_grouped,
+    )
+
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(4):
+        img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(tmp_path / name), img)
+        names.append(name)
+    (tmp_path / "pano.txt").write_text(
+        "".join(f"{n}\n{450.0 + i}\n" for i, n in enumerate(names))
+    )
+
+    batches, valid, focals, shape, host = load_dataset_device_grouped(
+        str(tmp_path), group_target=2
+    )
+    assert [b.shape for b in batches] == [(2, 24, 32, 3)] * 2
+    assert valid.all() and shape == (24, 32, 3)
+    assert len(host) == 4 and all(h is not None for h in host)
+
+    mono = load_dataset_device(str(tmp_path))[0]
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(b) for b in batches]), np.asarray(mono)
+    )

@@ -295,10 +295,10 @@ def finalize_pairwise_shifts(
                     host_images[i] is not None
                 ):
                     from vfx_image_stitching_tpu.geometry.cylindrical import (
-                        cylindrical_project_host,
+                        cylindrical_project_host_cached,
                     )
 
-                    cyl_host_cache[i] = cylindrical_project_host(
+                    cyl_host_cache[i] = cylindrical_project_host_cached(
                         host_images[i], float(focals[i])
                     )
                 else:
