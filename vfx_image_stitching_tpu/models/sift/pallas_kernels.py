@@ -242,50 +242,47 @@ def _descriptor_kernel(
                  cf=cf, of=of, c1=c1, c0w=wm - c1)
         )
 
-    # Accumulation: the old formulation looped all ww*ww*num_bins cells
-    # with a full-tile masked reduction each (128 select+reduce passes per
-    # tile) — VPU-bound.  Instead build, per tile, the 16 spatial-cell
-    # weight planes W (16, R*C) and the num_bins orientation two-hot
-    # planes O (R*C, num_bins), and contract on the MXU: (16, S')@(S',
-    # nb) -> the whole (16, nb) cell block in one dot.  (R, C) -> (R*C,)
-    # keeps the physical vreg tiling, so the reshape is layout-free.
-    s2 = DESC_TILE_R * TILE_C
-    acc = jnp.zeros((ww * ww, num_bins), jnp.float32)
-    for t in per_tile:
-        w_planes = []
-        for r in range(1, ww + 1):
-            wr = (
-                jnp.where(t["r0"] + 1 == r, t["c0w"], 0.0)
-                + jnp.where(t["r0"] + 2 == r, t["c1"], 0.0)
-            )
-            for c in range(1, ww + 1):
-                w_planes.append((
-                    wr * (
-                        jnp.where(t["c0"] + 1 == c, 1.0 - t["cf"], 0.0)
-                        + jnp.where(t["c0"] + 2 == c, t["cf"], 0.0)
-                    )
-                ).reshape(s2))
-        o_planes = [
-            (
-                jnp.where(t["o0"] == o, 1.0 - t["of"], 0.0)
-                + jnp.where(t["o1"] == o, t["of"], 0.0)
-            ).reshape(s2)
-            for o in range(num_bins)
-        ]
-        acc = acc + jax.lax.dot_general(
-            jnp.stack(w_planes),                     # (16, S')
-            jnp.stack(o_planes, axis=-1),            # (S', nb)
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
+    # Accumulation note (measured, round 2): an MXU formulation — 16
+    # spatial-cell planes x num_bins orientation planes contracted as a
+    # (16, S')@(S', nb) dot — passes in interpret mode but the Mosaic
+    # remote compiler rejects any dot whose operands come from
+    # stacked/reshaped computed vectors (probed: plain ref-fed 2-D dots
+    # compile, stack/reshape compile, their combination with dot does
+    # not).  The deeper blocker is structural anyway: the 2x2 tile
+    # neighborhood is (2*DESC_TILE_R) x 256 samples, ~14x the typical
+    # 57-wide window, so any per-keypoint-grid kernel pays 14x the
+    # compute of the XLA small-bucket GEMM path — which is why the GEMM
+    # path stays the default (descriptor.py).  Kept: the original
+    # per-cell masked-reduction accumulation, which compiles and is
+    # pinned by tests/test_tpu.py on real hardware.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, OUT_LANES), 1)
     row = jnp.zeros((1, OUT_LANES), jnp.float32)
-    for cell in range(ww * ww):
-        for o in range(num_bins):
-            row = jnp.where(
-                lane == cell * num_bins + o, acc[cell, o], row
-            )
+    # only the inner ww x ww cells survive the reference's padding-ring
+    # crop (sift_impl.py:509)
+    for r in range(1, ww + 1):
+        wr = [
+            jnp.where(t["r0"] + 1 == r, t["c0w"], 0.0)
+            + jnp.where(t["r0"] + 2 == r, t["c1"], 0.0)
+            for t in per_tile
+        ]
+        for c in range(1, ww + 1):
+            wrc = [
+                wr_t * (
+                    jnp.where(t["c0"] + 1 == c, 1.0 - t["cf"], 0.0)
+                    + jnp.where(t["c0"] + 2 == c, t["cf"], 0.0)
+                )
+                for wr_t, t in zip(wr, per_tile)
+            ]
+            for o in range(num_bins):
+                sb = sum(
+                    jnp.sum(
+                        jnp.where(t["o0"] == o, w_t * (1.0 - t["of"]), 0.0)
+                        + jnp.where(t["o1"] == o, w_t * t["of"], 0.0)
+                    )
+                    for w_t, t in zip(wrc, per_tile)
+                )
+                idx = ((r - 1) * ww + (c - 1)) * num_bins + o
+                row = jnp.where(lane == idx, sb, row)
     out_ref[pl.ds(jnp.mod(i, OUT_ROWS), 1), :] = row
 
 

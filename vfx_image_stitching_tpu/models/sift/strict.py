@@ -434,10 +434,14 @@ def _image_key(img: np.ndarray) -> bytes:
 
 
 # content-addressed caches: warm benchmark/pipeline re-runs over the same
-# images skip the host pyramid build and every strict re-decision
+# images skip the host pyramid build and every strict re-decision.
+# A full pyramid is ~46 MB of host RAM; the bound must exceed the number
+# of distinct images the escalated pairs of one dataset touch (parrington
+# touches 10 — an 8-entry cache thrashed and rebuilt 14 pyramids per warm
+# run, ~240 ms, caught by a host trace).
 _PYR_CACHE: "dict[bytes, tuple]" = {}
 _DESC_CACHE: "dict[tuple, object]" = {}
-_PYR_CACHE_MAX = 8
+_PYR_CACHE_MAX = 16
 _DESC_CACHE_MAX = 65536
 
 
