@@ -92,3 +92,39 @@ def test_graft_entry_contracts():
     jax.block_until_ready(out)
 
     ge.dryrun_multichip(8)
+
+
+def test_stitch_many_sharded_matches_unsharded(tmp_path):
+    """End-to-end multi-pano throughput on the 2-D mesh == single-device."""
+    import os
+
+    import cv2
+    pytest = __import__("pytest")
+    if not os.path.isdir("/root/reference/out"):
+        pytest.skip("reference repo not mounted")
+
+    from vfx_image_stitching_tpu.parallel.mesh import make_mesh_2d
+    from vfx_image_stitching_tpu.pipeline.multi import stitch_many
+
+    src = cv2.imread("/root/reference/out/out00.jpg")
+    src2 = cv2.imread("/root/reference/out/out01.jpg")
+    folders = []
+    for name, off in (("dsa", 0), ("dsb", 16)):
+        d = tmp_path / name
+        d.mkdir()
+        cv2.imwrite(str(d / "a.jpg"), src[off : off + 120, 40:180])
+        cv2.imwrite(str(d / "b.jpg"), src2[off : off + 120, 40:180])
+        (d / "pano.txt").write_text("a.jpg\n455.0\nb.jpg\n455.5\n")
+        folders.append(str(d))
+
+    mesh = make_mesh_2d(8)
+    sharded = stitch_many(
+        folders, backend="harris", margins={"dsa": 2, "dsb": 2}, mesh=mesh
+    )
+    plain = stitch_many(folders, backend="harris",
+                        margins={"dsa": 2, "dsb": 2})
+    for name in ("dsa", "dsb"):
+        assert sharded[name].shifts == plain[name].shifts
+        np.testing.assert_array_equal(
+            sharded[name].panorama, plain[name].panorama
+        )

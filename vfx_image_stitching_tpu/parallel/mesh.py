@@ -104,6 +104,47 @@ def _multi_pano_step(batch: jnp.ndarray, cfg: StitchConfig):
     return jax.vmap(lambda b: _pairwise_shift_step(b, cfg))(batch)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _full_shift_step(cyl: jnp.ndarray, cfg: StitchConfig):
+    """Pipeline-grade step: features (+meta/stats) AND the pair outputs.
+
+    Unlike :func:`_pairwise_shift_step` (the minimal benchmark step), this
+    returns everything ``pipeline.stitch.finalize_pairwise_shifts`` needs —
+    keypoint meta and capacity stats for the SIFT knife-edge escalation and
+    overflow warnings — so a sharded run keeps full single-chip semantics.
+    """
+    from vfx_image_stitching_tpu.pipeline.stitch import (
+        dispatch_pair_step,
+        extract_features,
+    )
+
+    xy, descs, valid_kp, meta, stats = extract_features(cyl, cfg)
+    pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
+    return (xy, valid_kp, meta, stats, pair_out)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _multi_pano_full_step(batch: jnp.ndarray, cfg: StitchConfig):
+    return jax.vmap(lambda b: _full_shift_step(b, cfg))(batch)
+
+
+def sharded_multi_pano_full(
+    batch: jnp.ndarray,
+    mesh: Mesh,
+    cfg: Optional[StitchConfig] = None,
+):
+    """Full shift stage for a (P, N, H, W, 3) batch on the 2-D mesh.
+
+    Data-parallel over panoramas on one axis, image-parallel within each
+    panorama on the other; returns the per-pano
+    ``(xy, valid_kp, meta, stats, pair_out)`` leaves with a leading P
+    axis, ready for per-dataset finalize/compose on the host side.
+    """
+    cfg = cfg or StitchConfig(backend="sift")
+    batch = jax.device_put(batch, NamedSharding(mesh, P(*mesh.axis_names)))
+    return _multi_pano_full_step(batch, cfg)
+
+
 def make_mesh_2d(n_devices: Optional[int] = None,
                  axes: Sequence[str] = ("pano", "images")) -> Mesh:
     """2-D mesh for the multi-panorama throughput config."""

@@ -48,13 +48,25 @@ def stitch_many(
     margins: Optional[Dict[str, int]] = None,
     cfg: Optional[StitchConfig] = None,
     verbose: bool = False,
+    mesh=None,
 ) -> Dict[str, StitchResult]:
     """Stitch every dataset folder in one pipelined run.
 
     Margins default to the author's per-dataset golden margins
     (README.md:52-54 of the reference).  Returns per-folder results in
     input order.
+
+    With ``mesh`` (a 2-D ``(pano, images)`` ``jax.sharding.Mesh``, see
+    ``parallel.make_mesh_2d``) the shift stage of same-shape datasets runs
+    data-parallel over panoramas and image-parallel within each — the
+    multi-chip throughput configuration.  Results are identical to the
+    single-device path (finalize/escalation/compose semantics are shared).
     """
+    if mesh is not None:
+        return _stitch_many_sharded(
+            folders, mesh, backend=backend, margins=margins, cfg=cfg,
+            verbose=verbose,
+        )
     import jax
     import jax.numpy as jnp
 
@@ -131,4 +143,124 @@ def stitch_many(
 
     if verbose:
         print(f"stitched {len(folders)} panoramas in {time.time() - t0:.2f} s")
+    return results
+
+
+def _stitch_many_sharded(
+    folders: Sequence[str],
+    mesh,
+    backend: str = "sift",
+    margins: Optional[Dict[str, int]] = None,
+    cfg: Optional[StitchConfig] = None,
+    verbose: bool = False,
+) -> Dict[str, StitchResult]:
+    """Multi-chip throughput path: shift stage on the 2-D (pano, images) mesh.
+
+    Same-shape datasets batch into a (P, N, H, W, 3) array sharded over
+    both mesh axes; P and N are zero-padded up to mesh-axis multiples
+    (padding panos/images produce no pairs that touch real data and are
+    trimmed).  Finalize (incl. knife-edge escalation), planning, compose
+    and crop reuse the single-device implementations per dataset.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vfx_image_stitching_tpu.compose import (
+        compose_mosaic,
+        plan_compose,
+        rectangle_crop,
+    )
+    from vfx_image_stitching_tpu.compose.crop import _content_bounds
+    from vfx_image_stitching_tpu.estimate import correct_drift
+    from vfx_image_stitching_tpu.geometry import cylindrical_project_batch
+    from vfx_image_stitching_tpu.io import load_dataset_device
+    from vfx_image_stitching_tpu.parallel.mesh import sharded_multi_pano_full
+
+    cfg = _resolve_cfg(backend, cfg)
+    margins = margins or {}
+    names = [os.path.basename(os.path.normpath(f)) for f in folders]
+
+    with cf.ThreadPoolExecutor(max_workers=max(1, len(folders))) as pool:
+        loads = [
+            pool.submit(load_dataset_device, f, with_host=True)
+            for f in folders
+        ]
+        loaded = [f.result() for f in loads]
+
+    # group same-(N, shape) datasets for batching
+    groups: Dict[tuple, list] = {}
+    for k, (batch, valid, focals, shape, host) in enumerate(loaded):
+        groups.setdefault((batch.shape[0],) + tuple(shape), []).append(k)
+
+    pano_ax, img_ax = mesh.devices.shape
+    staged: Dict[int, tuple] = {}
+    for key, members in groups.items():
+        n = key[0]
+        cyls = []
+        for k in members:
+            batch, valid, focals, shape, host = loaded[k]
+            cyls.append(cylindrical_project_batch(batch, tuple(focals)))
+        stacked = jnp.stack(cyls)
+        p = stacked.shape[0]
+        # pad both batch axes to mesh-axis multiples (sharding layouts
+        # need equal shards); padding never touches a real pair
+        p_pad = (-p) % pano_ax
+        n_pad = (-n) % img_ax
+        if p_pad or n_pad:
+            stacked = jnp.pad(
+                stacked, [(0, p_pad), (0, n_pad), (0, 0), (0, 0), (0, 0)]
+            )
+        xy, valid_kp, meta, stats, pair_out = sharded_multi_pano_full(
+            stacked, mesh, cfg
+        )
+
+        for slot, k in enumerate(members):
+            # trim the image/pair padding back off every leaf
+            meta_k = (
+                None if meta is None
+                else {mk: mv[slot][:n] for mk, mv in meta.items()}
+            )
+            stats_k = (
+                None if stats is None
+                else {sk: sv[slot][:n] for sk, sv in stats.items()}
+            )
+            pair_k = tuple(pv[slot][: n - 1] for pv in pair_out)
+            staged[k] = (
+                cyls[slot], xy[slot][:n], valid_kp[slot][:n],
+                meta_k, stats_k, pair_k,
+            )
+
+    results: Dict[str, StitchResult] = {}
+    t0 = time.time()
+    for k, name in enumerate(names):
+        batch, valid, focals, (h, w, _c), host = loaded[k]
+        cyl, xy_k, validkp_k, meta_k, stats_k, pair_k = staged[k]
+        td0 = time.time()
+        shifts, pairs, counts = finalize_pairwise_shifts(
+            cyl, xy_k, validkp_k, meta_k, stats_k, pair_k, list(valid), cfg,
+            host_images=host, focals=focals,
+        )
+        n = cyl.shape[0]
+        corrected = correct_drift(shifts, n_images=n)
+        plan = plan_compose(h, w, n, list(valid), corrected, pairs)
+        mosaic_d = compose_mosaic(cyl, plan)
+        bounds, mosaic = jax.device_get((
+            _content_bounds(mosaic_d, jnp.uint8(cfg.black_threshold)),
+            mosaic_d,
+        ))
+        margin = margins.get(name, DEFAULT_CROP_MARGINS.get(name, 15))
+        panorama = rectangle_crop(
+            mosaic, cfg.black_threshold, margin, bounds=bounds
+        )
+        results[name] = StitchResult(
+            panorama=panorama,
+            mosaic=mosaic,
+            shifts=shifts,
+            corrected_shifts=corrected,
+            pairs=pairs,
+            timings={"finalize_compose": time.time() - td0,
+                     "total": time.time() - t0},
+        )
+        if verbose:
+            print(f"{name}: {panorama.shape}")
     return results
