@@ -92,7 +92,15 @@ def sift_keypoints_and_descriptors(
         loc_counts.append(jnp.sum(loc.valid))
         loc_caps.append(loc_cap)
         loc = compact_localized(loc, loc_cap)
-        mag, ang = gradient_fields(pyramid[o])
+        # gradient fields (sqrt + atan2 over the whole octave) are only
+        # consumed by the orientation/descriptor windows — skip them when
+        # the octave localized nothing (typical for the tail octaves)
+        mag, ang = jax.lax.cond(
+            jnp.any(loc.valid),
+            lambda s: gradient_fields(s),
+            lambda s: (jnp.zeros_like(s), jnp.zeros_like(s)),
+            pyramid[o],
+        )
         kps = assign_orientations_chunked(mag, ang, loc, o, cfg)
         o_cap = caps.scaled_oriented(o)
         kps_c = compact(kps, o_cap)

@@ -234,8 +234,9 @@ def localize_candidates_chunked(
     """
     k = layer.shape[0]
     if k <= chunk:
-        return localize_candidates(dog, layer, y, x, cand_valid, octave, cfg)
-    if k % chunk:
+        chunk = k  # single chunk — still worth the any-valid skip: tail
+        #            octaves of a typical image have zero candidates
+    elif k % chunk:
         import math
 
         chunk = math.gcd(k, chunk) or k

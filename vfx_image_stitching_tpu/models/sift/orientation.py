@@ -90,8 +90,9 @@ def assign_orientations_chunked(
     """
     k = loc.x.shape[0]
     if k <= chunk:
-        return assign_orientations(mag_stack, ang_stack, loc, octave, cfg)
-    if k % chunk:
+        chunk = k  # single chunk — still worth the any-valid skip: tail
+        #            octaves of a typical image have zero candidates
+    elif k % chunk:
         import math
 
         chunk = math.gcd(k, chunk) or k
