@@ -87,8 +87,6 @@ def test_strict_keypoint_and_descriptor_bit_exact(reference_dir):
     for i, kp in enumerate(kps[:20]):
         octv, layer, scale = sift_impl.unpack_octave(kp)
         o_orig = octv + 1
-        # reconstruct the converged cell from the exact reference values
-        ix = int(np.round(scale * kp.pt[0] * 2)) if False else None
         # offset byte decode (sift_impl.py:208): offset = packed/255 - 0.5
         off = ((kp.octave >> 16) & 255) / 255.0 - 0.5
         # pt (converted) = (cell + update) * 2**o_orig * 0.5
@@ -110,3 +108,56 @@ def test_strict_keypoint_and_descriptor_bit_exact(reference_dir):
         np.testing.assert_array_equal(d, descs[i])
         checked += 1
     assert checked >= 3
+
+
+def test_escalate_pair_fixed_point(monkeypatch):
+    """Loop semantics with a controlled strict oracle: confirm vs flip."""
+    from vfx_image_stitching_tpu.models.sift import strict
+
+    k = 6
+    xy_a = np.array(
+        [[0, 0], [1, 0], [0, 1], [50, 50], [51, 50], [50, 51]], np.float64
+    )
+    xy_b = np.zeros((k, 2))
+    best_b = np.arange(k)
+    # moves == xy_a: cluster A rows 0-2 (3 votes) vs cluster B rows 3-5
+    matched = np.array([True, True, True, True, True, False])
+    border = np.array([False] * 5 + [True])
+    material = border.copy()
+    valid_a = np.ones(k, bool)
+    meta = {m: np.zeros(k) for m in ("size", "angle", "octave", "ix", "iy")}
+    img_a = np.zeros((8, 8, 3), np.uint8)
+    img_b = np.ones((8, 8, 3), np.uint8)
+
+    # case 1: strict CONFIRMS the device decision (row 5 stays unmatched:
+    # its A/B descriptors differ by more than the threshold) ->
+    # escalate_pair returns None
+    def far_desc(image, m, row, cfg):
+        if row == 5 and image is img_a:
+            return np.full(128, 100.0)  # sq distance 128e4 >> thresh
+        return np.zeros(128)
+
+    monkeypatch.setattr(strict, "_strict_desc_cached", far_desc)
+    out = strict.escalate_pair(
+        img_a, img_b, xy_a, meta, xy_b, meta, valid_a, best_b,
+        matched.copy(), border, material, desc_thresh=25000.0,
+    )
+    assert out is None
+
+    # case 2: strict FLIPS row 5 to matched -> cluster B ties at 3 and the
+    # first-max re-vote still keeps row 0... make cluster A weaker instead
+    matched2 = np.array([True, True, False, True, True, False])
+    # device winner was row 0 (cluster A = 2 votes vs B = 2, row 0 first);
+    # strict flip of row 5 gives B 3 votes -> winner flips to row 3
+    monkeypatch.setattr(
+        strict, "_strict_desc_cached",
+        lambda image, m, row, cfg: np.zeros(128),  # all distances 0 < thresh
+    )
+    out2 = strict.escalate_pair(
+        img_a, img_b, xy_a, meta, xy_b, meta, valid_a, best_b,
+        matched2, border, material, desc_thresh=25000.0,
+    )
+    assert out2 is not None
+    shift, pair, anym = out2
+    assert anym and tuple(shift) == (50.0, 50.0)
+    assert pair[0] == (50.0, 50.0)
