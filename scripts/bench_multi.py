@@ -45,8 +45,12 @@ def run_pipelined(folders):
 
 def main() -> None:
     folders = [os.path.join(DATA, d) for d in DATASETS]
-    # warmup: compile every executable once
+    # warmup BOTH paths: the sequential path's grouped loader compiles
+    # group-shaped extract executables the pipelined (monolithic-batch)
+    # path never uses, so a pipelined-only warmup would leave cold
+    # compiles inside the timed sequential run
     run_pipelined(folders)
+    run_sequential(folders)
 
     t0 = time.time()
     seq = run_sequential(folders)

@@ -29,8 +29,9 @@ def test_translation_ransac_material_flags_decisive_rows():
     )
     matched = jnp.asarray([True, True, True, True, True, False])
     border = jnp.asarray([False, False, False, False, False, True])
+    no_swap = jnp.zeros(6, bool)
     best, votes, anym, material, n_mat = translation_ransac_material(
-        moves, matched, border
+        moves, matched, border, no_swap
     )
     # adding row 5 ties cluster B at 3 with cluster A; first-max keeps row 0
     assert int(best) == 0 and int(votes) == 3 and bool(anym)
@@ -39,7 +40,7 @@ def test_translation_ransac_material_flags_decisive_rows():
     # make cluster B already tied: adding row 5 flips the winner to row 3
     matched2 = jnp.asarray([True, True, False, True, True, False])
     best2, votes2, _, material2, n2 = translation_ransac_material(
-        moves, matched2, border
+        moves, matched2, border, no_swap
     )
     assert int(best2) == 0 and int(votes2) == 2
     assert bool(material2[5]) and int(n2) == 1
@@ -47,7 +48,7 @@ def test_translation_ransac_material_flags_decisive_rows():
     # removing a cluster-A voter is material when it breaks the lead
     border3 = jnp.asarray([True, False, False, False, False, False])
     best3, _, _, material3, _ = translation_ransac_material(
-        moves, matched, border3
+        moves, matched, border3, no_swap
     )
     assert int(best3) == 0 and bool(material3[0])
 
@@ -92,8 +93,11 @@ def test_strict_keypoint_and_descriptor_bit_exact(reference_dir):
         # pt (converted) = (cell + update) * 2**o_orig * 0.5
         cell_x = int(round(kp.pt[0] / (2.0 ** o_orig) * 2.0))
         cell_y = int(round(kp.pt[1] / (2.0 ** o_orig) * 2.0))
+        # reference keypoints reachable this way are converged fits, so
+        # the compute cell equals the position cell and jl == layer
         got = recompute_keypoint_strict(
-            cell_x, cell_y, kp.octave, kp.angle, pyr, dogs, cfg
+            cell_x, cell_y, cell_x, cell_y, layer, kp.octave, kp.angle,
+            pyr, dogs, cfg
         )
         if got is None:
             continue
@@ -123,6 +127,7 @@ def test_escalate_pair_fixed_point(monkeypatch):
     # moves == xy_a: cluster A rows 0-2 (3 votes) vs cluster B rows 3-5
     matched = np.array([True, True, True, True, True, False])
     border = np.array([False] * 5 + [True])
+    no_swap = np.zeros(k, bool)
     material = border.copy()
     valid_a = np.ones(k, bool)
     meta = {m: np.zeros(k) for m in ("size", "angle", "octave", "ix", "iy")}
@@ -139,8 +144,8 @@ def test_escalate_pair_fixed_point(monkeypatch):
 
     monkeypatch.setattr(strict, "_strict_desc_cached", far_desc)
     out = strict.escalate_pair(
-        img_a, img_b, xy_a, meta, xy_b, meta, valid_a, best_b,
-        matched.copy(), border, material, desc_thresh=25000.0,
+        img_a, img_b, xy_a, meta, xy_b, meta, valid_a, best_b, best_b,
+        matched.copy(), border, no_swap, material, desc_thresh=25000.0,
     )
     assert out is None
 
@@ -154,8 +159,8 @@ def test_escalate_pair_fixed_point(monkeypatch):
         lambda image, m, row, cfg: np.zeros(128),  # all distances 0 < thresh
     )
     out2 = strict.escalate_pair(
-        img_a, img_b, xy_a, meta, xy_b, meta, valid_a, best_b,
-        matched2, border, material, desc_thresh=25000.0,
+        img_a, img_b, xy_a, meta, xy_b, meta, valid_a, best_b, best_b,
+        matched2, border, no_swap, material, desc_thresh=25000.0,
     )
     assert out2 is not None
     shift, pair, anym = out2

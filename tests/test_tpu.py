@@ -93,6 +93,9 @@ def test_descriptor_kernel_compiled_vs_xla():
         valid=jnp.asarray([True] * 6 + [False] * 2),
         ix=jnp.zeros(k, jnp.int32),
         iy=jnp.zeros(k, jnp.int32),
+        jx=jnp.zeros(k, jnp.int32),
+        jy=jnp.zeros(k, jnp.int32),
+        jl=jnp.zeros(k, jnp.int32),
     )
     a = np.asarray(
         compute_descriptors(jnp.asarray(mag), jnp.asarray(ang), kps, 1, cfg)

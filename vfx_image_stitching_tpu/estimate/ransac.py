@@ -49,14 +49,28 @@ def translation_ransac(
 def translation_ransac_material(
     moves: jnp.ndarray,
     matched: jnp.ndarray,
-    border: jnp.ndarray,
+    border_flip: jnp.ndarray,
+    border_swap: jnp.ndarray,
     dist_sq_thresh: float = 3.0,
 ) -> tuple[jnp.ndarray, ...]:
     """Vote + per-row decision materiality, in one O(K^2) pass.
 
-    A ``border`` row is *material* when flipping its matched state (the
-    knife-edge the f32 descriptor path cannot decide — see
-    models/sift/strict.py) would change the winning hypothesis row.
+    Borderline rows are knife edges the f32 descriptor path cannot
+    decide (see models/sift/strict.py): a ``border_flip`` row's
+    *threshold* decision may flip (matched <-> unmatched); a
+    ``border_swap`` row's *argmin* choice may swap to its runner-up,
+    changing the row's hypothesis move.  A row is *material* when its
+    possible change could alter the winning hypothesis:
+
+      * flip: the single add/remove scenario is evaluated exactly
+        (including changes to ``any_match`` — an empty vote's argmax is
+        row 0, so winner comparison alone conflates "no winner" with
+        "row 0 wins");
+      * swap: over-approximated — material when removing the row's vote
+        changes the winner OR any cluster outside the winner's could
+        overtake with one extra vote (a moved vote removes at most one
+        count everywhere and adds at most one anywhere).
+
     Only material rows are escalated to the strict host path, so clear
     vote margins never pay host work.
 
@@ -70,8 +84,11 @@ def translation_ransac_material(
     votes = jnp.sum(adj & matched[None, :], axis=1).astype(jnp.int32)
     votes_masked = jnp.where(matched, votes, -1)
     best = jnp.argmax(votes_masked).astype(jnp.int32)
+    best_votes = votes_masked[best]
+    any_now = jnp.any(matched)
 
-    # scenario per row j: counts under j's flip (remove if matched else add)
+    # flip scenario per row j: counts under j's flip (remove if matched
+    # else add); candidate hypothesis rows after the flip
     sign = jnp.where(matched, -1, 1).astype(jnp.int32)
     counts = votes[None, :] + sign[:, None] * adj.astype(jnp.int32)
     eye = jnp.eye(k, dtype=bool)
@@ -79,8 +96,22 @@ def translation_ransac_material(
         (~matched)[:, None] & eye
     )
     winner_j = jnp.argmax(jnp.where(cand, counts, -1), axis=1)
-    material = border & (winner_j != best)
-    return (
-        best, votes_masked[best], jnp.any(matched),
-        material, jnp.sum(material),
+    scen_any = jnp.any(cand, axis=1)
+    flip_changes = (scen_any != any_now) | (
+        scen_any & any_now & (winner_j != best)
     )
+
+    # swap over-approximation: any non-winner-cluster row j could reach
+    # the top with one extra vote (strict > or first-max tie at j < best)
+    arange = jnp.arange(k, dtype=jnp.int32)
+    gain = votes + 1
+    overtake = jnp.any(
+        ~adj[best] & (
+            (gain > best_votes) | ((gain == best_votes) & (arange < best))
+        )
+    ) | (best_votes <= 1)  # a moved vote could seed a brand-new cluster
+
+    material = (border_flip & flip_changes) | (
+        border_swap & (flip_changes | overtake)
+    )
+    return best, best_votes, any_now, material, jnp.sum(material)

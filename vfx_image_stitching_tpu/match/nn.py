@@ -62,9 +62,10 @@ def match_descriptors(
     whether the match is kept (valid rows, best exact distance <
     ``desc_thresh``, optional Lowe ratio for the API surface — the
     reference stitching path never uses the ratio).  With
-    ``return_dist=True`` also returns ``(best_dist, second_dist)`` — used
-    by the knife-edge precision-escalation path to spot decisions that
-    sit within descriptor-quantization noise of the threshold.
+    ``return_dist=True`` also returns ``(best_dist, second_dist,
+    second_idx)`` — used by the knife-edge precision-escalation path to
+    spot (and strictly re-decide) decisions that sit within
+    descriptor-quantization noise of the threshold or of the argmin gap.
     """
     d2 = pairwise_sqdist(desc_a, desc_b)
     d2 = jnp.where(valid_b[None, :], d2, _BIG)
@@ -87,7 +88,8 @@ def match_descriptors(
                 jnp.arange(d2.shape[1])[None, :] == best_idx[:, None], _BIG, d2
             )
             second = jnp.min(masked, axis=-1)
-            return best_idx, matched, best_dist, second
+            second_idx = jnp.argmin(masked, axis=-1).astype(jnp.int32)
+            return best_idx, matched, best_dist, second, second_idx
         return best_idx, matched
 
     refine = min(refine, desc_b.shape[0])
@@ -110,6 +112,15 @@ def match_descriptors(
         second = jnp.sort(exact, axis=-1)[:, 1] if refine > 1 else best_dist
         matched = matched & (best_dist < lowe_ratio * lowe_ratio * second)
     if return_dist:
-        second = jnp.sort(exact, axis=-1)[:, 1] if refine > 1 else best_dist
-        return best_idx, matched, best_dist, second
+        if refine > 1:
+            masked = jnp.where(cand_idx == best_idx[:, None], _BIG, exact)
+            second = jnp.min(masked, axis=-1)
+            second_pos = jnp.argmin(masked, axis=-1)
+            second_idx = jnp.take_along_axis(
+                cand_idx, second_pos[:, None], axis=-1
+            )[:, 0].astype(jnp.int32)
+        else:
+            second = best_dist
+            second_idx = best_idx
+        return best_idx, matched, best_dist, second, second_idx
     return best_idx, matched

@@ -192,6 +192,7 @@ def sift_batch_with_stats(
         meta = {
             "size": kps.size, "angle": kps.angle, "octave": kps.octave,
             "ix": kps.ix, "iy": kps.iy,
+            "jx": kps.jx, "jy": kps.jy, "jl": kps.jl,
         }
         return xy, desc, kps.valid, meta, stats
 

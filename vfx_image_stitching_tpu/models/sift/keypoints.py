@@ -23,11 +23,18 @@ class Keypoints(NamedTuple):
     response: jnp.ndarray   # f32
     octave: jnp.ndarray     # i32 packed: octave + layer<<8 + offset_byte<<16
     valid: jnp.ndarray      # bool
-    # converged localization cell (octave-local ints) — lets the strict
-    # host path (models/sift/strict.py) re-derive the keypoint in
-    # reference-exact arithmetic; not part of the cv2.KeyPoint surface
+    # Newton-fit cells (octave-local ints) — let the strict host path
+    # (models/sift/strict.py) re-derive the keypoint in reference-exact
+    # arithmetic; not part of the cv2.KeyPoint surface.  (ix, iy) is the
+    # final (post-move) position cell; (jx, jy, jl) is the last-COMPUTE
+    # cell, which differs for the reference's accepted-non-converged
+    # quirk (sift_impl.py:175-195) where the accept tests and sub-pixel
+    # update come from the pre-move cell.
     ix: jnp.ndarray         # i32 final column of the Newton fit
     iy: jnp.ndarray         # i32 final row of the Newton fit
+    jx: jnp.ndarray         # i32 last-compute column
+    jy: jnp.ndarray         # i32 last-compute row
+    jl: jnp.ndarray         # i32 last-compute layer
 
     @property
     def capacity(self) -> int:

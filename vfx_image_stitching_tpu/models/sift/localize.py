@@ -42,6 +42,16 @@ class Localized(NamedTuple):
     response: jnp.ndarray   # f32
     octave_packed: jnp.ndarray  # i32
     valid: jnp.ndarray      # bool
+    # last-COMPUTE cell of the Newton loop: where the final cube/grad/
+    # Hessian were evaluated.  For a converged candidate this equals
+    # (x, y, layer); for the reference's accepted-non-converged quirk
+    # (sift_impl.py:175-195) the loop moves AFTER the final compute, so
+    # the accept tests and sub-pixel update come from this cell while
+    # the position comes from (x, y).  The strict host re-derivation
+    # (models/sift/strict.py) needs both.
+    jx: jnp.ndarray         # i32
+    jy: jnp.ndarray         # i32
+    jl: jnp.ndarray         # i32
 
 
 def _cube_gather(dog_flat: jnp.ndarray, offsets: jnp.ndarray,
@@ -130,6 +140,7 @@ def localize_candidates(
     zeros = jnp.zeros((k,), jnp.float32)
     state = dict(
         x=x, y=y, l=layer,
+        cx=x, cy=y, cl=layer,
         ux=zeros, uy=zeros, us=zeros,
         gx=zeros, gy=zeros, gs=zeros,
         dxx=zeros, dyy=zeros, dss=zeros, dxy=zeros, dxs=zeros, dys=zeros,
@@ -163,6 +174,10 @@ def localize_candidates(
             (jnp.abs(ux) < 0.5) & (jnp.abs(uy) < 0.5) & (jnp.abs(us) < 0.5)
         )
         out["converged"] = st["converged"] | (active & conv_now)
+        # remember where this compute happened (pre-move cell)
+        out["cx"] = keep(st["x"], st["cx"])
+        out["cy"] = keep(st["y"], st["cy"])
+        out["cl"] = keep(st["l"], st["cl"])
 
         moving = active & ~conv_now
         nx = st["x"] + jnp.rint(ux).astype(jnp.int32)
@@ -211,6 +226,7 @@ def localize_candidates(
         x=xs, y=ys, layer=ls,
         pt_x=pt_x, pt_y=pt_y, size=size,
         response=jnp.abs(val), octave_packed=octave_packed, valid=valid,
+        jx=st["cx"], jy=st["cy"], jl=st["cl"],
     )
 
 
@@ -254,6 +270,7 @@ def localize_candidates_chunked(
                 x=zi, y=zi, layer=zi, pt_x=zf, pt_y=zf, size=zf,
                 response=zf, octave_packed=zi,
                 valid=jnp.zeros((chunk,), bool),
+                jx=zi, jy=zi, jl=zi,
             )
 
         return jax.lax.cond(jnp.any(v_c), live, dead, args)

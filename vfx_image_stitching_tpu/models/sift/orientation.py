@@ -109,6 +109,7 @@ def assign_orientations_chunked(
             return Keypoints(
                 x=zf, y=zf, size=zf, angle=zf, response=zf, octave=zi,
                 valid=jnp.zeros((m,), bool), ix=zi, iy=zi,
+                jx=zi, jy=zi, jl=zi,
             )
 
         return jax.lax.cond(jnp.any(loc_c.valid), live, dead, loc_c)
@@ -222,4 +223,7 @@ def assign_orientations(
         valid=(peak_valid & loc.valid[:, None]).reshape(-1),
         ix=expand(loc.x),
         iy=expand(loc.y),
+        jx=expand(loc.jx),
+        jy=expand(loc.jy),
+        jl=expand(loc.jl),
     )

@@ -188,6 +188,7 @@ def compute_keypoints_with_orientations(
         response=jnp.asarray([keypoint.response], jnp.float32),
         octave_packed=jnp.asarray([keypoint.octave], jnp.int32),
         valid=jnp.asarray([True]),
+        jx=one_i32, jy=one_i32, jl=one_i32,
     )
     mag, ang = gradient_fields(jnp.asarray(gauss_img, jnp.float32)[None])
     kps = assign_orientations(mag, ang, loc, octave, cfg)

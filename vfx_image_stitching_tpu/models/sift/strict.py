@@ -104,33 +104,42 @@ def host_dog_octaves(
 def relocalize_strict(
     ix: int,
     iy: int,
+    jx: int,
+    jy: int,
+    jl: int,
     layer: int,
     octave_orig: int,
     dog_octave: Sequence[np.ndarray],
     cfg: SiftConfig = SiftConfig(),
 ):
-    """One Newton evaluation at the converged cell, reference arithmetic.
+    """One Newton evaluation, reference arithmetic.
 
     The device localization (f32 adjugate solve) lands on the same
-    integer cell as the reference's f64-path ``np.linalg.lstsq`` Newton
+    integer cells as the reference's f64-path ``np.linalg.lstsq`` Newton
     loop (sift_impl.py:169-211) but its sub-pixel offset — and hence
-    pt/size — differs at ~1e-5.  Re-evaluating ONCE at the converged
-    cell with the reference's exact operations reproduces the oracle's
-    keypoint bit-for-bit: a converged loop's final iteration is exactly
-    this evaluation, and a non-converged-but-accepted point (the
-    reference quirk) also used its final cell's update without stepping.
+    pt/size — differs at ~1e-5.  The reference's final state pairs the
+    cube/grad/Hessian/update computed at the last-COMPUTE cell
+    ``(jl, jy, jx)`` with the position cell ``(layer, iy, ix)``: for a
+    converged point the two coincide (the loop breaks before moving);
+    for the accepted-non-converged quirk the loop moved once more after
+    the final compute (sift_impl.py:185-191), so the accept tests and
+    the sub-pixel offset come from the pre-move cell while pt/size pack
+    the post-move coordinates.  Re-evaluating once at the compute cell
+    with the reference's exact operations reproduces the oracle's
+    keypoint bit-for-bit in both cases.
 
     Returns ``(pt, size, response, octave_packed)`` at base-image scale
     (pre-convert), or ``None`` when the contrast/edge tests reject.
     """
     x, y = int(ix), int(iy)
-    prev_l = dog_octave[layer - 1]
-    curr = dog_octave[layer]
-    nxt = dog_octave[layer + 1]
+    cx, cy = int(jx), int(jy)
+    prev_l = dog_octave[jl - 1]
+    curr = dog_octave[jl]
+    nxt = dog_octave[jl + 1]
     cube = np.stack([
-        prev_l[y - 1 : y + 2, x - 1 : x + 2],
-        curr[y - 1 : y + 2, x - 1 : x + 2],
-        nxt[y - 1 : y + 2, x - 1 : x + 2],
+        prev_l[cy - 1 : cy + 2, cx - 1 : cx + 2],
+        curr[cy - 1 : cy + 2, cx - 1 : cx + 2],
+        nxt[cy - 1 : cy + 2, cx - 1 : cx + 2],
     ]).astype("float32") / 255.0
     dx = 0.5 * (cube[1, 1, 2] - cube[1, 1, 0])
     dy = 0.5 * (cube[1, 2, 1] - cube[1, 0, 1])
@@ -242,6 +251,9 @@ def orientations_strict(
 def recompute_keypoint_strict(
     ix: int,
     iy: int,
+    jx: int,
+    jy: int,
+    jl: int,
     octave_packed_conv: int,
     angle_f32: float,
     pyramid: Sequence[Sequence[np.ndarray]],
@@ -250,16 +262,21 @@ def recompute_keypoint_strict(
 ):
     """Re-derive one keypoint's (pt, size, angle, packed octave) exactly.
 
-    Returns the *converted* (input-image-scale) values, or ``None`` when
-    the strict re-evaluation rejects the keypoint (a keypoint that only
-    exists under f32 noise).  ``angle_f32`` selects among multiple
-    orientation peaks (the closest, circularly).
+    ``(ix, iy)`` is the Newton loop's final position cell, ``(jx, jy,
+    jl)`` its last-compute cell (equal for converged points — see
+    :func:`relocalize_strict`).  Returns the *converted*
+    (input-image-scale) values, or ``None`` when the strict
+    re-evaluation rejects the keypoint (a keypoint that only exists
+    under f32 noise).  ``angle_f32`` selects among multiple orientation
+    peaks (the closest, circularly).
     """
     ocv, layer, _scale = _unpack_octave(int(octave_packed_conv))
     o_orig = ocv + 1
     if o_orig < 0 or o_orig >= len(dogs):
         return None
-    res = relocalize_strict(ix, iy, layer, o_orig, dogs[o_orig], cfg)
+    res = relocalize_strict(
+        ix, iy, jx, jy, jl, layer, o_orig, dogs[o_orig], cfg
+    )
     if res is None:
         return None
     pt0, size0, _resp, packed0 = res
@@ -464,12 +481,14 @@ def _strict_desc_cached(img: np.ndarray, meta: Dict[str, np.ndarray],
     img_key, (pyr, dogs) = _pyramid_for(img, cfg)
     key = (
         img_key, int(meta["ix"][k]), int(meta["iy"][k]),
+        int(meta["jx"][k]), int(meta["jy"][k]), int(meta["jl"][k]),
         int(meta["octave"][k]), float(np.float32(meta["angle"][k])),
     )
     if key in _DESC_CACHE:
         return _DESC_CACHE[key]
     kp = recompute_keypoint_strict(
-        key[1], key[2], key[3], key[4], pyr, dogs, cfg
+        key[1], key[2], key[3], key[4], key[5], key[6], key[7], pyr, dogs,
+        cfg,
     )
     if kp is None:
         out = None
@@ -529,8 +548,10 @@ def escalate_pair(
     meta_b: Dict[str, np.ndarray],
     valid_a: np.ndarray,
     best_b: np.ndarray,
+    second_b: np.ndarray,
     matched: np.ndarray,
-    borderline: np.ndarray,
+    border_flip: np.ndarray,
+    border_swap: np.ndarray,
     material: np.ndarray,
     cfg: SiftConfig = SiftConfig(),
     desc_thresh: float = 25000.0,
@@ -538,19 +559,29 @@ def escalate_pair(
 ) -> Tuple[Tuple[float, float], Tuple[tuple, tuple], bool]:
     """Re-decide one image pair's shift with strict host arithmetic.
 
+    Per material row the strict pass re-decides BOTH knife-edge classes:
+    a ``border_swap`` row's argmin is re-ranked against its device
+    runner-up (the strict order can swap, changing the row's hypothesis
+    move — reference ties keep the lower B index, matching the
+    strict-< argmin scan of image_stitching_sift.py:62-79); the
+    threshold test then runs on the strict winner distance.
+
     Iterates to a fixed point: strict-resolve the rows the device marked
     material, re-vote, recompute materiality over the still-unresolved
     borderline rows in the new state, and repeat.  Individually
-    immaterial borderline rows that become material after a flip are
+    immaterial borderline rows that become material after a change are
     therefore caught; joint multi-row interactions below that are not
     (second-order, never observed).
 
     Returns ``(shift, (pair_a, pair_b), any_match)``, or ``None`` when
-    every strict resolution confirmed the fast path's decision — the
+    every strict resolution confirmed the fast path's decisions — the
     caller keeps the device result untouched in that case.
     """
-    original = matched
+    orig_matched = matched
+    orig_best = best_b
     matched = matched.copy()
+    best_b = best_b.copy()
+    borderline = border_flip | border_swap
     resolved = np.zeros_like(borderline)
     moves = xy_a.astype(np.float64) - xy_b[best_b].astype(np.float64)
 
@@ -562,13 +593,30 @@ def escalate_pair(
             r = int(r)
             resolved[r] = True
             da = _strict_desc_cached(cyl_a, meta_a, r, cfg)
-            db = _strict_desc_cached(cyl_b, meta_b, int(best_b[r]), cfg)
-            if da is None or db is None:
+            if da is None:
                 matched[r] = False   # endpoint doesn't survive strictly
                 continue
-            d_exact = float(((da - db) ** 2).sum())
-            matched[r] = bool(valid_a[r]) and d_exact < desc_thresh
-        if not (matched != original).any():
+            b1 = int(best_b[r])
+            db1 = _strict_desc_cached(cyl_b, meta_b, b1, cfg)
+            d1 = np.inf if db1 is None else float(((da - db1) ** 2).sum())
+            if border_swap[r] and int(second_b[r]) != b1:
+                b2 = int(second_b[r])
+                db2 = _strict_desc_cached(cyl_b, meta_b, b2, cfg)
+                d2 = np.inf if db2 is None else float(((da - db2) ** 2).sum())
+                # strict argmin; the reference's strict-< scan keeps the
+                # earlier (lower-index) B on exact ties
+                if d2 < d1 or (d2 == d1 and b2 < b1):
+                    b1, d1 = b2, d2
+            if not np.isfinite(d1):
+                matched[r] = False
+                continue
+            best_b[r] = b1
+            moves[r] = xy_a[r].astype(np.float64) - xy_b[b1].astype(
+                np.float64
+            )
+            matched[r] = bool(valid_a[r]) and d1 < desc_thresh
+        if not ((matched != orig_matched).any()
+                or (matched & (best_b != orig_best)).any()):
             # every material decision CONFIRMED the fast path: keep the
             # device vote untouched (a host re-vote would re-decide
             # near-threshold vote distances from f32-cast moves and could

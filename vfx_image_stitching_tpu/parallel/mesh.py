@@ -80,8 +80,10 @@ def sharded_pairwise_shifts(
     shards); the pair outputs are trimmed back to the real N-1 pairs, which
     never read a padding image.
 
-    Returns (shifts, pair_a, pair_b, any_match, counts, best_b, matched,
-    borderline, n_borderline) device arrays (see pipeline.stitch._pair_shift).
+    Returns the 12-tuple of ``pipeline.stitch._pair_shift`` outputs
+    (shifts, pair_a, pair_b, any_match, counts, best_b, second_b,
+    matched, border_flip, border_swap, material, n_material) as device
+    arrays with a leading pair axis.
     """
     cfg = cfg or StitchConfig(backend="harris")
     n = batch.shape[0]
@@ -125,6 +127,12 @@ def _full_shift_step(cyl: jnp.ndarray, cfg: StitchConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _multi_pano_full_step(batch: jnp.ndarray, cfg: StitchConfig):
+    # Perf note: vmap rewrites the chunk-skip lax.conds of the extractor
+    # into selects (both branches execute), so the per-pano path pays the
+    # worst-case capacity work.  That is acceptable here — the multi-pano
+    # config exists for multi-chip breadth, where the extra per-device
+    # work is hidden by the pano/image parallelism — but do not use this
+    # step expecting the single-device chunk-skip savings.
     return jax.vmap(lambda b: _full_shift_step(b, cfg))(batch)
 
 

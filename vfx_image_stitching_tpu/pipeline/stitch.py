@@ -61,17 +61,18 @@ def _pair_shift(
 ):
     """Shift + winning pair for one adjacent image pair (fixed shape).
 
-    With ``margin > 0`` the outputs gain the knife-edge escalation
-    signals: per-row best-B index / matched / borderline / material
-    masks and the material count (see models/sift/strict.py).  A row is
-    *borderline* when its threshold decision or its argmin choice sits
-    within ``margin`` of flipping under +-1 descriptor quantization; it
-    is *material* when that flip would change the winning hypothesis —
-    the O(K^2) materiality analysis runs on device inside the vote
-    (estimate/ransac.py), so the host is only involved when a seam
-    genuinely hangs on quantization noise.
+    Returns the 12-tuple ``(shift, pair_a, pair_b, any_match, n_matched,
+    best_b, second_b, matched, border_flip, border_swap, material,
+    n_material)``.  With ``margin > 0`` the escalation signals are live
+    (see models/sift/strict.py): ``border_flip`` rows sit within
+    ``margin`` of the absolute threshold, ``border_swap`` rows within
+    ``margin`` of their argmin runner-up — either could flip under +-1
+    descriptor quantization; ``material`` marks the subset whose change
+    could alter the winning hypothesis (the O(K^2) analysis runs on
+    device inside the vote, estimate/ransac.py), so the host is only
+    involved when a seam genuinely hangs on quantization noise.
     """
-    best_b, matched, best_dist, second = match_descriptors(
+    best_b, matched, best_dist, second, second_b = match_descriptors(
         desc_a, valid_a, desc_b, valid_b, desc_thresh, refine=refine,
         return_dist=True,
     )
@@ -79,31 +80,31 @@ def _pair_shift(
     pts_b = xy_b[best_b].astype(jnp.float32)
     moves = pts_a - pts_b
     if margin > 0:
-        borderline = valid_a & (
-            (jnp.abs(best_dist - desc_thresh) < margin)
-            | (matched & ((second - best_dist) < margin))
-        )
+        border_flip = valid_a & (jnp.abs(best_dist - desc_thresh) < margin)
+        border_swap = valid_a & matched & ((second - best_dist) < margin)
         from vfx_image_stitching_tpu.estimate.ransac import (
             translation_ransac_material,
         )
 
         best_i, votes, any_match, material, n_material = (
-            translation_ransac_material(moves, matched, borderline,
-                                        ransac_thresh)
+            translation_ransac_material(moves, matched, border_flip,
+                                        border_swap, ransac_thresh)
         )
     else:
         best_i, votes, any_match = translation_ransac(
             moves, matched, ransac_thresh
         )
-        borderline = jnp.zeros_like(matched)
-        material = borderline
+        border_flip = jnp.zeros_like(matched)
+        border_swap = border_flip
+        material = border_flip
         n_material = jnp.int32(0)
     shift = jnp.where(any_match, moves[best_i], jnp.zeros(2, jnp.float32))
     pair_a = jnp.where(any_match, pts_a[best_i], jnp.zeros(2, jnp.float32))
     pair_b = jnp.where(any_match, pts_b[best_i], jnp.zeros(2, jnp.float32))
     return (
         shift, pair_a, pair_b, any_match, jnp.sum(matched),
-        best_b, matched, borderline, material, n_material,
+        best_b, second_b, matched, border_flip, border_swap,
+        material, n_material,
     )
 
 
@@ -156,7 +157,11 @@ def _concat_feats(feats_list):
 
 
 def dispatch_pair_step(xy, descs, valid_kp, cfg: StitchConfig):
-    """Dispatch the vmapped adjacent-pair step (async; 9-tuple)."""
+    """Dispatch the vmapped adjacent-pair step (async).
+
+    Returns the 12-tuple of :func:`_pair_shift` outputs with a leading
+    (N-1) pair axis — see its docstring for the field list.
+    """
     mcfg = cfg.match()
     pair_fn = jax.vmap(
         functools.partial(
@@ -204,7 +209,8 @@ def finalize_pairwise_shifts(
     mcfg = cfg.match()
     (
         shifts_d, pa_d, pb_d, any_d, counts_d,
-        bestb_d, matched_d, border_d, material_d, nmaterial_d,
+        bestb_d, secondb_d, matched_d, bflip_d, bswap_d,
+        material_d, nmaterial_d,
     ) = pair_out
 
     # ONE small device->host transfer for everything scalar-sized: on a
@@ -266,7 +272,8 @@ def finalize_pairwise_shifts(
         for key in meta_keys:
             parts2.append(meta[key].reshape(-1).astype(jnp.float32))
         parts2.append(valid_kp.reshape(-1).astype(jnp.float32))
-        for arr in (bestb_d, matched_d, border_d, material_d):
+        for arr in (bestb_d, secondb_d, matched_d, bflip_d, bswap_d,
+                    material_d):
             parts2.append(arr.reshape(-1).astype(jnp.float32))
         esc_bundle = np.asarray(jnp.concatenate(parts2))
 
@@ -283,8 +290,10 @@ def finalize_pairwise_shifts(
         meta_np = {key: take((n_img, kcap)) for key in meta_keys}
         validkp_np = take((n_img, kcap)) != 0.0
         bestb_np = take((n1, kcap)).astype(np.int64)
+        secondb_np = take((n1, kcap)).astype(np.int64)
         matched_np = take((n1, kcap)) != 0.0
-        border_np = take((n1, kcap)) != 0.0
+        bflip_np = take((n1, kcap)) != 0.0
+        bswap_np = take((n1, kcap)) != 0.0
         material_np = take((n1, kcap)) != 0.0
 
         cyl_host_cache: dict = {}
@@ -314,8 +323,8 @@ def finalize_pairwise_shifts(
             esc = escalate_pair(
                 cyl_host(i), cyl_host(i + 1),
                 xy_np[i], meta_a, xy_np[i + 1], meta_b,
-                validkp_np[i], bestb_np[i], matched_np[i],
-                border_np[i], material_np[i],
+                validkp_np[i], bestb_np[i], secondb_np[i], matched_np[i],
+                bflip_np[i], bswap_np[i], material_np[i],
                 cfg=cfg.sift,
                 desc_thresh=mcfg.desc_thresh,
                 ransac_thresh=mcfg.ransac_thresh,
