@@ -30,15 +30,12 @@ import os
 import time
 from typing import Dict, Optional, Sequence
 
-import numpy as np
-
 from vfx_image_stitching_tpu.config import DEFAULT_CROP_MARGINS, StitchConfig
 from vfx_image_stitching_tpu.pipeline.stitch import (
     StitchResult,
     _resolve_cfg,
     dispatch_pair_step,
     extract_features,
-    finalize_pairwise_shifts,
 )
 
 
@@ -67,17 +64,9 @@ def stitch_many(
             folders, mesh, backend=backend, margins=margins, cfg=cfg,
             verbose=verbose,
         )
-    import jax
-    import jax.numpy as jnp
-
-    from vfx_image_stitching_tpu.compose import (
-        compose_mosaic,
-        plan_compose,
-        rectangle_crop,
-    )
-    from vfx_image_stitching_tpu.estimate import correct_drift
     from vfx_image_stitching_tpu.geometry import cylindrical_project_batch
     from vfx_image_stitching_tpu.io import load_dataset_device
+    from vfx_image_stitching_tpu.pipeline.stitch import finalize_to_panorama
 
     cfg = _resolve_cfg(backend, cfg)
     margins = margins or {}
@@ -110,35 +99,22 @@ def stitch_many(
     ):
         td0 = time.time()
         xy, descs, valid_kp, meta, stats = feats
-        shifts, pairs, counts = finalize_pairwise_shifts(
-            cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
-            host_images=host_imgs, focals=focals,
-        )
-        n = cyl.shape[0]
-        corrected = correct_drift(shifts, n_images=n)
-        plan = plan_compose(h, w, n, list(valid), corrected, pairs)
-        mosaic_d = compose_mosaic(cyl, plan)
-        from vfx_image_stitching_tpu.compose.crop import _content_bounds
-
-        bounds, mosaic = jax.device_get((
-            _content_bounds(mosaic_d, jnp.uint8(cfg.black_threshold)),
-            mosaic_d,
-        ))
         margin = margins.get(name, DEFAULT_CROP_MARGINS.get(name, 15))
-        panorama = rectangle_crop(
-            mosaic, cfg.black_threshold, margin, bounds=bounds
+        fin = finalize_to_panorama(
+            cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
+            h, w, margin, host_images=host_imgs, focals=focals,
         )
         td1 = time.time()
         results[name] = StitchResult(
-            panorama=panorama,
-            mosaic=mosaic,
-            shifts=shifts,
-            corrected_shifts=corrected,
-            pairs=pairs,
+            panorama=fin.panorama,
+            mosaic=fin.mosaic,
+            shifts=fin.shifts,
+            corrected_shifts=fin.corrected,
+            pairs=fin.pairs,
             timings={"finalize_compose": td1 - td0, "total": td1 - t0},
         )
         if verbose:
-            print(f"{name}: {panorama.shape} in {td1 - td0:.2f} s "
+            print(f"{name}: {fin.panorama.shape} in {td1 - td0:.2f} s "
                   f"(cumulative {td1 - t0:.2f} s)")
 
     if verbose:
@@ -162,19 +138,12 @@ def _stitch_many_sharded(
     trimmed).  Finalize (incl. knife-edge escalation), planning, compose
     and crop reuse the single-device implementations per dataset.
     """
-    import jax
     import jax.numpy as jnp
 
-    from vfx_image_stitching_tpu.compose import (
-        compose_mosaic,
-        plan_compose,
-        rectangle_crop,
-    )
-    from vfx_image_stitching_tpu.compose.crop import _content_bounds
-    from vfx_image_stitching_tpu.estimate import correct_drift
     from vfx_image_stitching_tpu.geometry import cylindrical_project_batch
     from vfx_image_stitching_tpu.io import load_dataset_device
     from vfx_image_stitching_tpu.parallel.mesh import sharded_multi_pano_full
+    from vfx_image_stitching_tpu.pipeline.stitch import finalize_to_panorama
 
     cfg = _resolve_cfg(backend, cfg)
     margins = margins or {}
@@ -236,31 +205,20 @@ def _stitch_many_sharded(
         batch, valid, focals, (h, w, _c), host = loaded[k]
         cyl, xy_k, validkp_k, meta_k, stats_k, pair_k = staged[k]
         td0 = time.time()
-        shifts, pairs, counts = finalize_pairwise_shifts(
-            cyl, xy_k, validkp_k, meta_k, stats_k, pair_k, list(valid), cfg,
-            host_images=host, focals=focals,
-        )
-        n = cyl.shape[0]
-        corrected = correct_drift(shifts, n_images=n)
-        plan = plan_compose(h, w, n, list(valid), corrected, pairs)
-        mosaic_d = compose_mosaic(cyl, plan)
-        bounds, mosaic = jax.device_get((
-            _content_bounds(mosaic_d, jnp.uint8(cfg.black_threshold)),
-            mosaic_d,
-        ))
         margin = margins.get(name, DEFAULT_CROP_MARGINS.get(name, 15))
-        panorama = rectangle_crop(
-            mosaic, cfg.black_threshold, margin, bounds=bounds
+        fin = finalize_to_panorama(
+            cyl, xy_k, validkp_k, meta_k, stats_k, pair_k, list(valid), cfg,
+            h, w, margin, host_images=host, focals=focals,
         )
         results[name] = StitchResult(
-            panorama=panorama,
-            mosaic=mosaic,
-            shifts=shifts,
-            corrected_shifts=corrected,
-            pairs=pairs,
+            panorama=fin.panorama,
+            mosaic=fin.mosaic,
+            shifts=fin.shifts,
+            corrected_shifts=fin.corrected,
+            pairs=fin.pairs,
             timings={"finalize_compose": time.time() - td0,
                      "total": time.time() - t0},
         )
         if verbose:
-            print(f"{name}: {panorama.shape}")
+            print(f"{name}: {fin.panorama.shape}")
     return results

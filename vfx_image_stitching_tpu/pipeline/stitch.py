@@ -359,6 +359,60 @@ def finalize_pairwise_shifts(
     return shifts, pairs, counts
 
 
+@dataclasses.dataclass
+class _Finalized:
+    """Output of the shared finalize->compose tail (finalize_to_panorama)."""
+
+    panorama: np.ndarray
+    mosaic: np.ndarray
+    shifts: List[Tuple[float, float]]
+    corrected: List[Tuple[float, float]]
+    pairs: list
+    counts: np.ndarray
+    steps: Optional[List[np.ndarray]]
+    finalize_s: float
+    compose_s: float
+
+
+def finalize_to_panorama(
+    cyl, xy, valid_kp, meta, stats, pair_out, valid, cfg: StitchConfig,
+    h: int, w: int, margin: int,
+    host_images: Optional[Sequence] = None,
+    focals: Optional[Sequence[float]] = None,
+    return_steps: bool = False,
+) -> _Finalized:
+    """Shared pipeline tail: finalize -> drift -> plan -> compose -> crop.
+
+    Used by the single-dataset driver, the pipelined multi-dataset run
+    and the mesh-sharded throughput path, so escalation/planning/compose
+    semantics (and transfer bundling — bounds + mosaic in one
+    device_get) can never drift between them.
+    """
+    t0 = time.time()
+    shifts, pairs, counts = finalize_pairwise_shifts(
+        cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
+        host_images=host_images, focals=focals,
+    )
+    t1 = time.time()
+    n = cyl.shape[0]
+    corrected = correct_drift(shifts, n_images=n)
+    plan = plan_compose(h, w, n, list(valid), corrected, pairs)
+    out = compose_mosaic(cyl, plan, return_steps=return_steps)
+    mosaic_d, steps = out if return_steps else (out, None)
+    from vfx_image_stitching_tpu.compose.crop import _content_bounds
+
+    bounds, mosaic = jax.device_get((
+        _content_bounds(mosaic_d, jnp.uint8(cfg.black_threshold)), mosaic_d,
+    ))
+    panorama = rectangle_crop(mosaic, cfg.black_threshold, margin, bounds=bounds)
+    t2 = time.time()
+    return _Finalized(
+        panorama=panorama, mosaic=mosaic, shifts=shifts,
+        corrected=corrected, pairs=pairs, counts=counts, steps=steps,
+        finalize_s=t1 - t0, compose_s=t2 - t1,
+    )
+
+
 def stitch_panorama(
     folder: str,
     backend: str = "harris",
@@ -419,37 +473,19 @@ def _stitch_inner(
 
     xy, descs, valid_kp, meta, stats = _concat_feats(feats_groups)
     pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
-    shifts, pairs, counts = finalize_pairwise_shifts(
+    fin = finalize_to_panorama(
         cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
-        host_images=host_imgs, focals=focals,
+        h, w, margin, host_images=host_imgs, focals=focals,
+        return_steps=return_steps,
     )
-    t2 = time.time()
+    t2 = t1 + fin.finalize_s
     timings["features_ransac"] = t2 - t1
     if verbose:
         print(f"Timer: {t2 - t1:.2f} s features + RANSAC "
-              f"(matches per pair: {list(map(int, counts))})")
-
-    corrected = correct_drift(shifts, n_images=n)
-    plan = plan_compose(h, w, n, list(valid), corrected, pairs)
-    out = compose_mosaic(cyl, plan, return_steps=return_steps)
-    if return_steps:
-        mosaic_d, steps = out
-    else:
-        mosaic_d, steps = out, None
-    # bounds reductions run on the device-resident mosaic; bounds + mosaic
-    # then come back in ONE device_get (two sequential pulls cost an extra
-    # round trip on tunneled links)
-    from vfx_image_stitching_tpu.compose.crop import _content_bounds
-
-    bounds, mosaic = jax.device_get((
-        _content_bounds(mosaic_d, jnp.uint8(cfg.black_threshold)), mosaic_d,
-    ))
-    t3 = time.time()
-    timings["compose"] = t3 - t2
-
-    panorama = rectangle_crop(mosaic, cfg.black_threshold, margin, bounds=bounds)
+              f"(matches per pair: {list(map(int, fin.counts))})")
+    timings["compose"] = fin.compose_s
     t4 = time.time()
-    timings["crop"] = t4 - t3
+    timings["crop"] = t4 - t1 - fin.finalize_s - fin.compose_s
     timings["total"] = t4 - t0
     if verbose:
         print(f"Total: {t4 - t0:.2f} s")
@@ -457,14 +493,14 @@ def _stitch_inner(
     # save only when the caller provides a path; the reference's
     # write-into-the-input-folder behavior lives in the CLI drivers
     if save_path:
-        save_bgr(save_path, panorama)
+        save_bgr(save_path, fin.panorama)
 
     return StitchResult(
-        panorama=panorama,
-        mosaic=mosaic,
-        shifts=shifts,
-        corrected_shifts=corrected,
-        pairs=pairs,
+        panorama=fin.panorama,
+        mosaic=fin.mosaic,
+        shifts=fin.shifts,
+        corrected_shifts=fin.corrected,
+        pairs=fin.pairs,
         timings=timings,
-        steps=steps,
+        steps=fin.steps,
     )
