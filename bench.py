@@ -42,10 +42,10 @@ def run(backend: str) -> dict:
     folder = os.path.join(DATA_ROOT, "parrington")
     # warmup (compile + cache)
     stitch_panorama(folder, backend=backend, crop_margin=15, save_path=None)
-    # median of 3 warm runs: the dev harness tunnels device IO through an
+    # median of 5 warm runs: the dev harness tunnels device IO through an
     # HTTP relay whose latency jitters by several hundred ms run-to-run
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         res = stitch_panorama(
             folder, backend=backend, crop_margin=15, save_path=None
@@ -55,7 +55,7 @@ def run(backend: str) -> dict:
 
     baseline = BASELINES[backend]
     out = {
-        "metric": f"parrington 18-img {backend} stitch end-to-end (warm, median of 3)",
+        "metric": f"parrington 18-img {backend} stitch end-to-end (warm, median of 5)",
         "value": round(elapsed, 4),
         "unit": "s",
         "vs_baseline": round(baseline / elapsed, 1),
