@@ -56,7 +56,8 @@ def main() -> None:
     from vfx_image_stitching_tpu.models.sift.strict import escalate_pair
 
     (shifts_d, pa_d, pb_d, any_d, counts_d,
-     bestb_d, matched_d, border_d, material_d, nmaterial_d) = pair_out
+     bestb_d, candidx_d, canddist_d, matched_d, bflip_d, bswap_d,
+     material_d, nmaterial_d) = pair_out
     n1 = int(shifts_d.shape[0])
     t0 = time.time()
     parts = [
@@ -86,10 +87,12 @@ def main() -> None:
         xa = np.asarray(xy[i]); xb = np.asarray(xy[i + 1])
         va = np.asarray(valid_kp[i])
         bb = np.asarray(bestb_d[i]); mm = np.asarray(matched_d[i])
-        bo = np.asarray(border_d[i]); mt = np.asarray(material_d[i])
+        ci = np.asarray(candidx_d[i]); cd = np.asarray(canddist_d[i])
+        bf = np.asarray(bflip_d[i]); bs = np.asarray(bswap_d[i])
+        mt = np.asarray(material_d[i])
         t1 = time.time()
         esc = escalate_pair(
-            ca, cb, xa, meta_a, xb, meta_b, va, bb, mm, bo, mt,
+            ca, cb, xa, meta_a, xb, meta_b, va, bb, ci, cd, mm, bf, bs, mt,
             cfg=cfg.sift, desc_thresh=25000.0, ransac_thresh=3.0,
         )
         t2 = time.time()
@@ -102,7 +105,7 @@ def main() -> None:
         # second call: caches warm
         t0 = time.time()
         escalate_pair(
-            ca, cb, xa, meta_a, xb, meta_b, va, bb, mm, bo, mt,
+            ca, cb, xa, meta_a, xb, meta_b, va, bb, ci, cd, mm, bf, bs, mt,
             cfg=cfg.sift, desc_thresh=25000.0, ransac_thresh=3.0,
         )
         print(json.dumps({

@@ -143,8 +143,11 @@ def test_escalate_pair_fixed_point(monkeypatch):
         return np.zeros(128)
 
     monkeypatch.setattr(strict, "_strict_desc_cached", far_desc)
+    cand_idx = best_b[:, None]
+    cand_dist = np.zeros((k, 1))
     out = strict.escalate_pair(
-        img_a, img_b, xy_a, meta, xy_b, meta, valid_a, best_b, best_b,
+        img_a, img_b, xy_a, meta, xy_b, meta, valid_a, best_b,
+        cand_idx, cand_dist,
         matched.copy(), border, no_swap, material, desc_thresh=25000.0,
     )
     assert out is None
@@ -159,10 +162,54 @@ def test_escalate_pair_fixed_point(monkeypatch):
         lambda image, m, row, cfg: np.zeros(128),  # all distances 0 < thresh
     )
     out2 = strict.escalate_pair(
-        img_a, img_b, xy_a, meta, xy_b, meta, valid_a, best_b, best_b,
+        img_a, img_b, xy_a, meta, xy_b, meta, valid_a, best_b,
+        cand_idx, cand_dist,
         matched2, border, no_swap, material, desc_thresh=25000.0,
     )
     assert out2 is not None
     shift, pair, anym = out2
     assert anym and tuple(shift) == (50.0, 50.0)
     assert pair[0] == (50.0, 50.0)
+
+
+def test_swap_materiality_counts_winners_own_vote():
+    """A swap row inside the winner's cluster is material when a rival
+    sits one vote behind: the swap removes the winner's vote AND adds
+    the rival's (the old overtake test compared against the undiminished
+    winner count and missed this)."""
+    from vfx_image_stitching_tpu.estimate.ransac import (
+        translation_ransac_material,
+    )
+
+    # winner cluster: rows 0-4 (5 votes); rival cluster: rows 5-8 (4)
+    moves = jnp.asarray(
+        [[0, 0], [0.1, 0], [0, 0.1], [0.1, 0.1], [0.05, 0.05],
+         [9, 9], [9.1, 9], [9, 9.1], [9.1, 9.1]],
+        jnp.float32,
+    )
+    matched = jnp.ones(9, bool)
+    no_flip = jnp.zeros(9, bool)
+    # row 1: in the winner's cluster but not the seed row (removing the
+    # seed row itself always changes the winning row, which is material
+    # for the trivial reason that the seed pair changes)
+    swap1 = no_flip.at[1].set(True)
+    best, votes, anym, material, n_mat = translation_ransac_material(
+        moves, matched, no_flip, swap1
+    )
+    assert int(best) == 0 and int(votes) == 5
+    # removing row 1 alone leaves 4-4 with first-max keeping row 0, so the
+    # flip scenario is immaterial — but the moved vote could land in the
+    # rival cluster (4+1 = 5 > 5-1 = 4): material
+    assert bool(material[1]) and int(n_mat) == 1
+
+    # same situation but the winner leads by 2: no single swap can flip it
+    moves2 = jnp.asarray(
+        [[0, 0], [0.1, 0], [0, 0.1], [0.1, 0.1], [0.05, 0.05],
+         [9, 9], [9.1, 9], [9, 9.1], [50, 50]],
+        jnp.float32,
+    )
+    _, votes2, _, material2, n2 = translation_ransac_material(
+        moves2, matched, no_flip, swap1
+    )
+    assert int(votes2) == 5
+    assert not bool(material2[1]) and int(n2) == 0

@@ -68,8 +68,11 @@ def translation_ransac_material(
         "row 0 wins");
       * swap: over-approximated — material when removing the row's vote
         changes the winner OR any cluster outside the winner's could
-        overtake with one extra vote (a moved vote removes at most one
-        count everywhere and adds at most one anywhere).
+        overtake the winner's *post-swap* count with one extra vote (a
+        swapped vote may simultaneously leave the winner's cluster and
+        land in a rival's, so the winner's count is diminished by the
+        row's own contribution before the comparison; a brand-new
+        one-vote cluster at the row itself is also considered).
 
     Only material rows are escalated to the strict host path, so clear
     vote margins never pay host work.
@@ -101,15 +104,24 @@ def translation_ransac_material(
         scen_any & any_now & (winner_j != best)
     )
 
-    # swap over-approximation: any non-winner-cluster row j could reach
-    # the top with one extra vote (strict > or first-max tie at j < best)
+    # swap over-approximation, per swap row j: the winner's post-swap
+    # count is best_votes minus j's own contribution (j's vote may leave
+    # the winner's cluster); a rival i beats it with votes_i + 1 under
+    # first-max order (strict >, or == with i < best).  Encode the order
+    # in 2*count + (index < best) so one max covers both conditions; a
+    # brand-new one-vote cluster seeded at j itself is scored the same
+    # way.
     arange = jnp.arange(k, dtype=jnp.int32)
-    gain = votes + 1
-    overtake = jnp.any(
-        ~adj[best] & (
-            (gain > best_votes) | ((gain == best_votes) & (arange < best))
-        )
-    ) | (best_votes <= 1)  # a moved vote could seed a brand-new cluster
+    rival_key = jnp.where(
+        ~adj[best],
+        2 * (votes + 1) + (arange < best).astype(jnp.int32),
+        jnp.iinfo(jnp.int32).min,
+    )
+    max_rival = jnp.max(rival_key)
+    own = (matched & adj[best]).astype(jnp.int32)          # j's winner vote
+    win_after = best_votes - own                           # per row j
+    new_cluster_key = 2 + (arange < best).astype(jnp.int32)
+    overtake = (jnp.maximum(max_rival, new_cluster_key) > 2 * win_after)
 
     material = (border_flip & flip_changes) | (
         border_swap & (flip_changes | overtake)

@@ -63,9 +63,13 @@ def match_descriptors(
     ``desc_thresh``, optional Lowe ratio for the API surface — the
     reference stitching path never uses the ratio).  With
     ``return_dist=True`` also returns ``(best_dist, second_dist,
-    second_idx)`` — used by the knife-edge precision-escalation path to
-    spot (and strictly re-decide) decisions that sit within
-    descriptor-quantization noise of the threshold or of the argmin gap.
+    cand_idx (K, 4), cand_dist (K, 4))`` — the top-4 candidate set by
+    exact distance, used by the knife-edge precision-escalation path to
+    spot (and strictly re-rank) decisions that sit within
+    descriptor-quantization noise of the threshold or of the argmin gap
+    (any candidate whose device distance is within the margin of the
+    best could strictly win; >4 such candidates has never been
+    observed and the escalation re-ranks all returned ones).
     """
     d2 = pairwise_sqdist(desc_a, desc_b)
     d2 = jnp.where(valid_b[None, :], d2, _BIG)
@@ -84,12 +88,12 @@ def match_descriptors(
             second = jnp.min(masked, axis=-1)
             matched = matched & (best_dist < lowe_ratio * lowe_ratio * second)
         if return_dist:
-            masked = jnp.where(
-                jnp.arange(d2.shape[1])[None, :] == best_idx[:, None], _BIG, d2
-            )
-            second = jnp.min(masked, axis=-1)
-            second_idx = jnp.argmin(masked, axis=-1).astype(jnp.int32)
-            return best_idx, matched, best_dist, second, second_idx
+            n_cand = min(4, d2.shape[1])
+            neg, cand_idx = jax.lax.top_k(-d2, n_cand)
+            cand_dist = -neg
+            second = cand_dist[:, 1] if n_cand > 1 else best_dist
+            return (best_idx, matched, best_dist, second,
+                    cand_idx.astype(jnp.int32), cand_dist)
         return best_idx, matched
 
     refine = min(refine, desc_b.shape[0])
@@ -112,15 +116,14 @@ def match_descriptors(
         second = jnp.sort(exact, axis=-1)[:, 1] if refine > 1 else best_dist
         matched = matched & (best_dist < lowe_ratio * lowe_ratio * second)
     if return_dist:
-        if refine > 1:
-            masked = jnp.where(cand_idx == best_idx[:, None], _BIG, exact)
-            second = jnp.min(masked, axis=-1)
-            second_pos = jnp.argmin(masked, axis=-1)
-            second_idx = jnp.take_along_axis(
-                cand_idx, second_pos[:, None], axis=-1
-            )[:, 0].astype(jnp.int32)
-        else:
-            second = best_dist
-            second_idx = best_idx
-        return best_idx, matched, best_dist, second, second_idx
+        n_cand = min(4, refine)
+        neg, pos = jax.lax.top_k(-exact, n_cand)          # by exact distance
+        out_dist = -neg
+        out_idx = jnp.take_along_axis(cand_idx, pos, axis=-1).astype(
+            jnp.int32
+        )
+        second = (
+            out_dist[:, min(1, n_cand - 1)] if n_cand > 1 else best_dist
+        )
+        return best_idx, matched, best_dist, second, out_idx, out_dist
     return best_idx, matched

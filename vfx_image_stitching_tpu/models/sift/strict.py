@@ -514,28 +514,59 @@ def _first_max_winner(moves: np.ndarray, matched: np.ndarray,
 
 
 def _material_rows(moves: np.ndarray, matched: np.ndarray,
-                   candidates: np.ndarray, thresh_sq: float) -> np.ndarray:
-    """Candidate rows whose single flip changes the winner (host replay of
-    estimate/ransac.translation_ransac_material, restricted to the
-    matched+candidate subset)."""
+                   border_flip: np.ndarray, border_swap: np.ndarray,
+                   thresh_sq: float) -> np.ndarray:
+    """Unresolved borderline rows still material in the CURRENT state.
+
+    Host replay of estimate/ransac.translation_ransac_material (same
+    semantics: exact flip scenarios incl. any-match changes, plus the
+    swap over-approximation against the winner's post-swap count),
+    restricted to the matched+borderline subset for the fixed-point
+    rounds of :func:`escalate_pair`.
+    """
+    candidates = border_flip | border_swap
     rows = np.nonzero(matched | candidates)[0]
+    out = np.zeros_like(candidates)
     if rows.size == 0:
-        return np.zeros_like(candidates)
+        return out
     sub = moves[rows]
     d2 = ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
     adj = d2 < thresh_sq
     m_sub = matched[rows]
     votes = (adj & m_sub[None, :]).sum(1)
-    best = int(np.argmax(np.where(m_sub, votes, -1)))
-    out = np.zeros_like(candidates)
+    any_now = bool(m_sub.any())
+    best = int(np.argmax(np.where(m_sub, votes, -1))) if any_now else -1
+    best_votes = int(votes[best]) if any_now else 0
+
     for j in np.nonzero(candidates[rows])[0]:
+        r = int(rows[j])
+        # flip scenario (exact)
         sign = -1 if m_sub[j] else 1
         counts = votes + sign * adj[:, j].astype(int)
         cand = m_sub.copy()
         cand[j] = not m_sub[j]
-        wj = int(np.argmax(np.where(cand, counts, -1)))
-        if wj != best:
-            out[rows[j]] = True
+        scen_any = bool(cand.any())
+        if scen_any != any_now:
+            out[r] = True
+            continue
+        if scen_any:
+            wj = int(np.argmax(np.where(cand, counts, -1)))
+            if wj != best:
+                out[r] = True
+                continue
+        if not border_swap[r] or not any_now:
+            continue
+        # swap over-approximation: rival (or a fresh one-vote cluster)
+        # vs the winner's post-swap count under first-max order
+        own = int(m_sub[j] and adj[best, j])
+        win_after = best_votes - own
+        keys = np.where(
+            ~adj[best], 2 * (votes + 1) + (np.arange(rows.size) < best),
+            np.iinfo(np.int64).min,
+        )
+        new_key = 2 + int(j < best)
+        if max(int(keys.max()), new_key) > 2 * win_after:
+            out[r] = True
     return out
 
 
@@ -548,7 +579,8 @@ def escalate_pair(
     meta_b: Dict[str, np.ndarray],
     valid_a: np.ndarray,
     best_b: np.ndarray,
-    second_b: np.ndarray,
+    cand_idx: np.ndarray,
+    cand_dist: np.ndarray,
     matched: np.ndarray,
     border_flip: np.ndarray,
     border_swap: np.ndarray,
@@ -556,19 +588,23 @@ def escalate_pair(
     cfg: SiftConfig = SiftConfig(),
     desc_thresh: float = 25000.0,
     ransac_thresh: float = 3.0,
+    margin: float = DEFAULT_BORDERLINE_MARGIN,
 ) -> Tuple[Tuple[float, float], Tuple[tuple, tuple], bool]:
     """Re-decide one image pair's shift with strict host arithmetic.
 
     Per material row the strict pass re-decides BOTH knife-edge classes:
-    a ``border_swap`` row's argmin is re-ranked against its device
-    runner-up (the strict order can swap, changing the row's hypothesis
-    move — reference ties keep the lower B index, matching the
-    strict-< argmin scan of image_stitching_sift.py:62-79); the
-    threshold test then runs on the strict winner distance.
+    a ``border_swap`` row's argmin is re-ranked over every device
+    candidate (``cand_idx``/``cand_dist``, the top 4) whose device
+    distance lies within ``margin`` of the row's best — only those can
+    strictly win, since a single distance is off by at most margin/2.
+    The strict winner follows the reference's strict-< scan (first
+    minimal B index, image_stitching_sift.py:62-79); the threshold test
+    then runs on the strict winner distance.
 
     Iterates to a fixed point: strict-resolve the rows the device marked
     material, re-vote, recompute materiality over the still-unresolved
-    borderline rows in the new state, and repeat.  Individually
+    borderline rows in the new state (same scenario semantics as the
+    device-side analysis, _material_rows), and repeat.  Individually
     immaterial borderline rows that become material after a change are
     therefore caught; joint multi-row interactions below that are not
     (second-order, never observed).
@@ -581,8 +617,7 @@ def escalate_pair(
     orig_best = best_b
     matched = matched.copy()
     best_b = best_b.copy()
-    borderline = border_flip | border_swap
-    resolved = np.zeros_like(borderline)
+    resolved = np.zeros_like(border_flip)
     moves = xy_a.astype(np.float64) - xy_b[best_b].astype(np.float64)
 
     to_resolve = material & valid_a & ~resolved
@@ -596,18 +631,25 @@ def escalate_pair(
             if da is None:
                 matched[r] = False   # endpoint doesn't survive strictly
                 continue
-            b1 = int(best_b[r])
-            db1 = _strict_desc_cached(cyl_b, meta_b, b1, cfg)
-            d1 = np.inf if db1 is None else float(((da - db1) ** 2).sum())
-            if border_swap[r] and int(second_b[r]) != b1:
-                b2 = int(second_b[r])
-                db2 = _strict_desc_cached(cyl_b, meta_b, b2, cfg)
-                d2 = np.inf if db2 is None else float(((da - db2) ** 2).sum())
-                # strict argmin; the reference's strict-< scan keeps the
-                # earlier (lower-index) B on exact ties
-                if d2 < d1 or (d2 == d1 and b2 < b1):
-                    b1, d1 = b2, d2
-            if not np.isfinite(d1):
+            if border_swap[r]:
+                row_best = float(np.min(cand_dist[r]))
+                cands = [
+                    int(b) for b, dd in zip(cand_idx[r], cand_dist[r])
+                    if dd < row_best + margin
+                ]
+            else:
+                cands = [int(best_b[r])]
+            b1, d1 = -1, np.inf
+            for b in sorted(set(cands)):
+                db = _strict_desc_cached(cyl_b, meta_b, b, cfg)
+                if db is None:
+                    continue
+                d = float(((da - db) ** 2).sum())
+                # ascending b + strict < keeps the first minimal index,
+                # matching the reference's argmin scan
+                if d < d1:
+                    b1, d1 = b, d
+            if b1 < 0:
                 matched[r] = False
                 continue
             best_b[r] = b1
@@ -622,8 +664,10 @@ def escalate_pair(
             # near-threshold vote distances from f32-cast moves and could
             # churn a result that was already correct)
             return None
+        unresolved = valid_a & ~resolved
         to_resolve = _material_rows(
-            moves, matched, borderline & valid_a & ~resolved, ransac_thresh
+            moves, matched, border_flip & unresolved,
+            border_swap & unresolved, ransac_thresh,
         )
 
     win_row = _first_max_winner(moves, matched, ransac_thresh)

@@ -80,10 +80,10 @@ def sharded_pairwise_shifts(
     shards); the pair outputs are trimmed back to the real N-1 pairs, which
     never read a padding image.
 
-    Returns the 12-tuple of ``pipeline.stitch._pair_shift`` outputs
-    (shifts, pair_a, pair_b, any_match, counts, best_b, second_b,
-    matched, border_flip, border_swap, material, n_material) as device
-    arrays with a leading pair axis.
+    Returns the 13-tuple of ``pipeline.stitch._pair_shift`` outputs
+    (shifts, pair_a, pair_b, any_match, counts, best_b, cand_idx,
+    cand_dist, matched, border_flip, border_swap, material, n_material)
+    as device arrays with a leading pair axis.
     """
     cfg = cfg or StitchConfig(backend="harris")
     n = batch.shape[0]

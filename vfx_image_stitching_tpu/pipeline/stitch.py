@@ -61,27 +61,38 @@ def _pair_shift(
 ):
     """Shift + winning pair for one adjacent image pair (fixed shape).
 
-    Returns the 12-tuple ``(shift, pair_a, pair_b, any_match, n_matched,
-    best_b, second_b, matched, border_flip, border_swap, material,
-    n_material)``.  With ``margin > 0`` the escalation signals are live
-    (see models/sift/strict.py): ``border_flip`` rows sit within
-    ``margin`` of the absolute threshold, ``border_swap`` rows within
-    ``margin`` of their argmin runner-up — either could flip under +-1
-    descriptor quantization; ``material`` marks the subset whose change
-    could alter the winning hypothesis (the O(K^2) analysis runs on
-    device inside the vote, estimate/ransac.py), so the host is only
-    involved when a seam genuinely hangs on quantization noise.
+    Returns the 13-tuple ``(shift, pair_a, pair_b, any_match, n_matched,
+    best_b, cand_idx, cand_dist, matched, border_flip, border_swap,
+    material, n_material)``.  With ``margin > 0`` the escalation signals
+    are live (see models/sift/strict.py): ``border_flip`` rows sit
+    within ``margin`` of the absolute threshold, ``border_swap`` rows
+    within ``margin`` of their argmin runner-up (matched or not — a row
+    that strictly flips to matched needs its argmin re-ranked too) —
+    either could flip under +-1 descriptor quantization;
+    ``cand_idx``/``cand_dist`` carry the top-4 candidate set the strict
+    re-rank draws from; ``material`` marks the subset whose change could
+    alter the winning hypothesis (the O(K^2) analysis runs on device
+    inside the vote, estimate/ransac.py), so the host is only involved
+    when a seam genuinely hangs on quantization noise.
     """
-    best_b, matched, best_dist, second, second_b = match_descriptors(
-        desc_a, valid_a, desc_b, valid_b, desc_thresh, refine=refine,
-        return_dist=True,
+    best_b, matched, best_dist, second, cand_idx, cand_dist = (
+        match_descriptors(
+            desc_a, valid_a, desc_b, valid_b, desc_thresh, refine=refine,
+            return_dist=True,
+        )
     )
     pts_a = xy_a.astype(jnp.float32)
     pts_b = xy_b[best_b].astype(jnp.float32)
     moves = pts_a - pts_b
     if margin > 0:
         border_flip = valid_a & (jnp.abs(best_dist - desc_thresh) < margin)
-        border_swap = valid_a & matched & ((second - best_dist) < margin)
+        # argmin knife edge: relevant when the row is matched now OR could
+        # strictly flip to matched (an unmatched row far beyond the
+        # threshold stays unmatched whichever candidate wins its argmin)
+        border_swap = (
+            valid_a & ((second - best_dist) < margin)
+            & (matched | border_flip)
+        )
         from vfx_image_stitching_tpu.estimate.ransac import (
             translation_ransac_material,
         )
@@ -103,7 +114,7 @@ def _pair_shift(
     pair_b = jnp.where(any_match, pts_b[best_i], jnp.zeros(2, jnp.float32))
     return (
         shift, pair_a, pair_b, any_match, jnp.sum(matched),
-        best_b, second_b, matched, border_flip, border_swap,
+        best_b, cand_idx, cand_dist, matched, border_flip, border_swap,
         material, n_material,
     )
 
@@ -159,7 +170,7 @@ def _concat_feats(feats_list):
 def dispatch_pair_step(xy, descs, valid_kp, cfg: StitchConfig):
     """Dispatch the vmapped adjacent-pair step (async).
 
-    Returns the 12-tuple of :func:`_pair_shift` outputs with a leading
+    Returns the 13-tuple of :func:`_pair_shift` outputs with a leading
     (N-1) pair axis — see its docstring for the field list.
     """
     mcfg = cfg.match()
@@ -209,7 +220,7 @@ def finalize_pairwise_shifts(
     mcfg = cfg.match()
     (
         shifts_d, pa_d, pb_d, any_d, counts_d,
-        bestb_d, secondb_d, matched_d, bflip_d, bswap_d,
+        bestb_d, candidx_d, canddist_d, matched_d, bflip_d, bswap_d,
         material_d, nmaterial_d,
     ) = pair_out
 
@@ -272,8 +283,8 @@ def finalize_pairwise_shifts(
         for key in meta_keys:
             parts2.append(meta[key].reshape(-1).astype(jnp.float32))
         parts2.append(valid_kp.reshape(-1).astype(jnp.float32))
-        for arr in (bestb_d, secondb_d, matched_d, bflip_d, bswap_d,
-                    material_d):
+        for arr in (bestb_d, candidx_d, canddist_d, matched_d, bflip_d,
+                    bswap_d, material_d):
             parts2.append(arr.reshape(-1).astype(jnp.float32))
         esc_bundle = np.asarray(jnp.concatenate(parts2))
 
@@ -289,8 +300,10 @@ def finalize_pairwise_shifts(
         xy_np = take((n_img, kcap, 2)).astype(np.float64)
         meta_np = {key: take((n_img, kcap)) for key in meta_keys}
         validkp_np = take((n_img, kcap)) != 0.0
+        n_cand = int(candidx_d.shape[-1])
         bestb_np = take((n1, kcap)).astype(np.int64)
-        secondb_np = take((n1, kcap)).astype(np.int64)
+        candidx_np = take((n1, kcap, n_cand)).astype(np.int64)
+        canddist_np = take((n1, kcap, n_cand)).astype(np.float64)
         matched_np = take((n1, kcap)) != 0.0
         bflip_np = take((n1, kcap)) != 0.0
         bswap_np = take((n1, kcap)) != 0.0
@@ -323,11 +336,12 @@ def finalize_pairwise_shifts(
             esc = escalate_pair(
                 cyl_host(i), cyl_host(i + 1),
                 xy_np[i], meta_a, xy_np[i + 1], meta_b,
-                validkp_np[i], bestb_np[i], secondb_np[i], matched_np[i],
-                bflip_np[i], bswap_np[i], material_np[i],
+                validkp_np[i], bestb_np[i], candidx_np[i], canddist_np[i],
+                matched_np[i], bflip_np[i], bswap_np[i], material_np[i],
                 cfg=cfg.sift,
                 desc_thresh=mcfg.desc_thresh,
                 ransac_thresh=mcfg.ransac_thresh,
+                margin=mcfg.borderline_margin,
             )
             if esc is None:
                 continue  # strict pass confirmed the device result
@@ -372,6 +386,7 @@ class _Finalized:
     steps: Optional[List[np.ndarray]]
     finalize_s: float
     compose_s: float
+    crop_s: float
 
 
 def finalize_to_panorama(
@@ -404,12 +419,13 @@ def finalize_to_panorama(
     bounds, mosaic = jax.device_get((
         _content_bounds(mosaic_d, jnp.uint8(cfg.black_threshold)), mosaic_d,
     ))
-    panorama = rectangle_crop(mosaic, cfg.black_threshold, margin, bounds=bounds)
     t2 = time.time()
+    panorama = rectangle_crop(mosaic, cfg.black_threshold, margin, bounds=bounds)
+    t3 = time.time()
     return _Finalized(
         panorama=panorama, mosaic=mosaic, shifts=shifts,
         corrected=corrected, pairs=pairs, counts=counts, steps=steps,
-        finalize_s=t1 - t0, compose_s=t2 - t1,
+        finalize_s=t1 - t0, compose_s=t2 - t1, crop_s=t3 - t2,
     )
 
 
@@ -484,8 +500,8 @@ def _stitch_inner(
         print(f"Timer: {t2 - t1:.2f} s features + RANSAC "
               f"(matches per pair: {list(map(int, fin.counts))})")
     timings["compose"] = fin.compose_s
+    timings["crop"] = fin.crop_s
     t4 = time.time()
-    timings["crop"] = t4 - t1 - fin.finalize_s - fin.compose_s
     timings["total"] = t4 - t0
     if verbose:
         print(f"Total: {t4 - t0:.2f} s")
