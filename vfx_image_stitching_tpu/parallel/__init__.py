@@ -15,6 +15,7 @@ from vfx_image_stitching_tpu.parallel.mesh import (
     make_mesh_2d,
     sharded_pairwise_shifts,
     sharded_multi_pano_shifts,
+    sharded_multi_pano_full,
     shard_batch,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "make_mesh_2d",
     "sharded_pairwise_shifts",
     "sharded_multi_pano_shifts",
+    "sharded_multi_pano_full",
     "shard_batch",
 ]
