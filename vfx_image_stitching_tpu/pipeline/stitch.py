@@ -458,8 +458,9 @@ def _stitch_inner(
     t0 = time.time()
     from vfx_image_stitching_tpu.io import load_dataset_device_grouped
 
+    group_target = int(os.environ.get("VFX_LOAD_GROUP", "6"))
     batches, valid, focals, (h, w, _c), host_imgs = (
-        load_dataset_device_grouped(folder, pano_file)
+        load_dataset_device_grouped(folder, pano_file, group_target)
     )
     n = int(sum(b.shape[0] for b in batches))
 
