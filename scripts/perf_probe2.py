@@ -57,7 +57,7 @@ def main() -> None:
 
     (shifts_d, pa_d, pb_d, any_d, counts_d,
      bestb_d, candidx_d, canddist_d, matched_d, bflip_d, bswap_d,
-     material_d, nmaterial_d) = pair_out
+     material_d, nmaterial_d, maxinm_d) = pair_out
     n1 = int(shifts_d.shape[0])
     t0 = time.time()
     parts = [

@@ -47,10 +47,17 @@ def main() -> int:
         for ds in ["wind", "out", "parrington", "grail"]:
             folder = os.path.join(DATA, ds)
             margin = DEFAULT_CROP_MARGINS[ds]
+            # first run pays XLA compiles (minutes on the remote-compile
+            # TPU harness) — record it separately and report the WARM
+            # second run as time_s so these numbers sit next to the
+            # BENCH_r* medians without a units mismatch
+            cold = stitch_panorama(folder, backend=backend,
+                                   crop_margin=margin, save_path=None)
             res = stitch_panorama(folder, backend=backend, crop_margin=margin,
                                   save_path=None)
             report = {"backend": backend, "dataset": ds,
                       "time_s": round(res.timings["total"], 3),
+                      "cold_compile_s": round(cold.timings["total"], 3),
                       "pano": list(res.panorama.shape)}
 
             if backend == "sift" and ds in oracle:

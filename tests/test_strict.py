@@ -172,11 +172,11 @@ def test_escalate_pair_fixed_point(monkeypatch):
     assert pair[0] == (50.0, 50.0)
 
 
-def test_swap_materiality_counts_winners_own_vote():
-    """A swap row inside the winner's cluster is material when a rival
-    sits one vote behind: the swap removes the winner's vote AND adds
-    the rival's (the old overtake test compared against the undiminished
-    winner count and missed this)."""
+def test_swap_materiality_exact_per_candidate():
+    """Swap materiality is decided per KNOWN alternative candidate: the
+    same swap row is material when its alternative lands in a rival
+    cluster one vote behind, and immaterial when the alternative lands
+    nowhere near a rival (the old over-approximation flagged both)."""
     from vfx_image_stitching_tpu.estimate.ransac import (
         translation_ransac_material,
     )
@@ -193,23 +193,172 @@ def test_swap_materiality_counts_winners_own_vote():
     # seed row itself always changes the winning row, which is material
     # for the trivial reason that the seed pair changes)
     swap1 = no_flip.at[1].set(True)
+    # alternative candidate for row 1 lands IN the rival cluster: rival
+    # goes 4+1 = 5 > winner's diminished 5-1 = 4 -> material
+    alt_rival = jnp.zeros((9, 1, 2), jnp.float32).at[1, 0].set(
+        jnp.asarray([9.0, 9.0])
+    )
+    alt_valid1 = jnp.zeros((9, 1), bool).at[1, 0].set(True)
     best, votes, anym, material, n_mat = translation_ransac_material(
-        moves, matched, no_flip, swap1
+        moves, matched, no_flip, swap1, alt_rival, alt_valid1
     )
     assert int(best) == 0 and int(votes) == 5
-    # removing row 1 alone leaves 4-4 with first-max keeping row 0, so the
-    # flip scenario is immaterial — but the moved vote could land in the
-    # rival cluster (4+1 = 5 > 5-1 = 4): material
     assert bool(material[1]) and int(n_mat) == 1
 
-    # same situation but the winner leads by 2: no single swap can flip it
-    moves2 = jnp.asarray(
-        [[0, 0], [0.1, 0], [0, 0.1], [0.1, 0.1], [0.05, 0.05],
-         [9, 9], [9.1, 9], [9, 9.1], [50, 50]],
-        jnp.float32,
+    # same row, but the only alternative lands far from every cluster:
+    # winner drops to 4, rival stays 4, first-max keeps row 0 -> NOT
+    # material (the old rival-count over-approximation flagged this)
+    alt_far = jnp.zeros((9, 1, 2), jnp.float32).at[1, 0].set(
+        jnp.asarray([50.0, 50.0])
     )
-    _, votes2, _, material2, n2 = translation_ransac_material(
-        moves2, matched, no_flip, swap1
+    _, _, _, material2, n2 = translation_ransac_material(
+        moves, matched, no_flip, swap1, alt_far, alt_valid1
     )
-    assert int(votes2) == 5
     assert not bool(material2[1]) and int(n2) == 0
+
+    # no known alternatives at all: swap rows only material via flip
+    _, _, _, material3, n3 = translation_ransac_material(
+        moves, matched, no_flip, swap1
+    )
+    assert not bool(material3[1]) and int(n3) == 0
+
+
+def test_swap_materiality_advice_counterexample():
+    """The advisor's round-2 counterexample: a swapped vote that departs
+    a shared cluster and lands next to a winner-ADJACENT rival flips the
+    winner; the old over-approximation excluded winner-adjacent rivals
+    and missed it."""
+    from vfx_image_stitching_tpu.estimate.ransac import (
+        translation_ransac_material,
+    )
+
+    moves = jnp.asarray(
+        [[0, 0], [0.05, 0], [0.1, 0], [-1.0, 0], [1.6, 0]], jnp.float32
+    )
+    matched = jnp.ones(5, bool)
+    no_flip = jnp.zeros(5, bool)
+    swap3 = no_flip.at[3].set(True)
+    alt = jnp.zeros((5, 1, 2), jnp.float32).at[3, 0].set(
+        jnp.asarray([3.0, 0.0])
+    )
+    alt_valid = jnp.zeros((5, 1), bool).at[3, 0].set(True)
+    best, votes, _, material, n_mat = translation_ransac_material(
+        moves, matched, no_flip, swap3, alt, alt_valid
+    )
+    # current winner: row 0 with 5 votes; swapping row 3 to move 3.0
+    # gives row 4 (winner-adjacent!) 5 votes vs the winner's 4
+    assert int(best) == 0 and int(votes) == 5
+    assert bool(material[3]) and int(n_mat) == 1
+
+
+def _materiality_oracle(moves, matched, border_flip, border_swap,
+                        alt_moves, alt_valid, thresh_sq=3.0):
+    """Brute-force scenario enumeration (f64) for the fuzz cross-check."""
+
+    def winner(mv, mt):
+        if not mt.any():
+            return -1
+        d2 = ((mv[:, None, :] - mv[None, :, :]) ** 2).sum(-1)
+        cnt = ((d2 < thresh_sq) & mt[None, :]).sum(1)
+        return int(np.argmax(np.where(mt, cnt, -1)))
+
+    k = moves.shape[0]
+    best = winner(moves, matched)
+    any_now = matched.any()
+    out = np.zeros(k, bool)
+    for j in range(k):
+        if not (border_flip[j] or border_swap[j]):
+            continue
+        mt = matched.copy()
+        mt[j] = not matched[j]
+        wj = winner(moves, mt)
+        if (wj < 0) != (not any_now) or (wj >= 0 and wj != best):
+            out[j] = True
+            continue
+        if not border_swap[j]:
+            continue
+        for c in np.nonzero(alt_valid[j])[0]:
+            mv = moves.copy()
+            mv[j] = alt_moves[j, int(c)]
+            mt = matched.copy()
+            mt[j] = True
+            wj = winner(mv, mt)
+            if wj != best or wj == j or not any_now:
+                out[j] = True
+                break
+    return out
+
+
+def test_materiality_fuzz_device_host_oracle():
+    """Fuzzed vote configurations: the device analysis, the host replay
+    (strict._material_rows) and a brute-force scenario oracle must agree
+    row for row (VERDICT r2 item 4)."""
+    from vfx_image_stitching_tpu.estimate.ransac import (
+        translation_ransac_material,
+    )
+    from vfx_image_stitching_tpu.models.sift.strict import _material_rows
+
+    rng = np.random.default_rng(42)
+    centers = np.array([[0, 0], [1, 0], [9, 9], [10, 9], [50, 50]])
+    n_cases = 300
+    for case in range(n_cases):
+        k = int(rng.integers(1, 13))
+        n_alt = int(rng.integers(0, 4))
+        # integer-valued moves so f32 (device) and f64 (host/oracle)
+        # adjacency comparisons agree exactly
+        moves = centers[rng.integers(0, len(centers), k)] + rng.integers(
+            0, 2, (k, 2)
+        )
+        moves = moves.astype(np.float64)
+        matched = rng.random(k) < 0.7
+        border_flip = rng.random(k) < 0.3
+        border_swap = rng.random(k) < 0.3
+        alt_moves = (
+            centers[rng.integers(0, len(centers), (k, n_alt))]
+            + rng.integers(0, 2, (k, n_alt, 2))
+        ).astype(np.float64)
+        alt_valid = rng.random((k, n_alt)) < 0.6
+
+        oracle = _materiality_oracle(
+            moves, matched, border_flip, border_swap, alt_moves, alt_valid
+        )
+        _, _, _, mat_dev, _ = translation_ransac_material(
+            jnp.asarray(moves, jnp.float32), jnp.asarray(matched),
+            jnp.asarray(border_flip), jnp.asarray(border_swap),
+            jnp.asarray(alt_moves, jnp.float32), jnp.asarray(alt_valid),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mat_dev), oracle, err_msg=f"device case {case}"
+        )
+        mat_host = _material_rows(
+            moves, matched, border_flip, border_swap, alt_moves, alt_valid,
+            3.0,
+        )
+        np.testing.assert_array_equal(
+            mat_host, oracle, err_msg=f"host case {case}"
+        )
+
+
+def test_swap_cap_overflow_is_conservative():
+    """Swap rows beyond the compacted slab are marked material outright."""
+    from vfx_image_stitching_tpu.estimate.ransac import (
+        translation_ransac_material,
+    )
+
+    k = 6
+    moves = jnp.asarray(np.arange(k * 2).reshape(k, 2) * 10.0, jnp.float32)
+    matched = jnp.ones(k, bool)
+    no_flip = jnp.zeros(k, bool)
+    swaps = jnp.ones(k, bool)
+    alt_moves = jnp.zeros((k, 1, 2), jnp.float32)
+    alt_valid = jnp.zeros((k, 1), bool)  # no real alternatives anywhere
+    _, _, _, material, n_mat = translation_ransac_material(
+        moves, matched, no_flip, swaps, alt_moves, alt_valid,
+        swap_cap=2,
+    )
+    # rows 0-1 analyzed exactly: row 0 is material via the flip branch
+    # (removing the winner row changes the winner), row 1 is not (no
+    # valid alternatives); the 4 overflow rows are conservatively material
+    material = np.asarray(material)
+    assert material[0] and not material[1]
+    assert material[2:].all() and int(n_mat) == 5

@@ -55,6 +55,7 @@ def match_descriptors(
     refine: int = 8,
     lowe_ratio: Optional[float] = None,
     return_dist: bool = False,
+    margin: float = 0.0,
 ) -> Tuple[jnp.ndarray, ...]:
     """Per-A-row nearest neighbor in B under an absolute threshold.
 
@@ -63,13 +64,18 @@ def match_descriptors(
     ``desc_thresh``, optional Lowe ratio for the API surface — the
     reference stitching path never uses the ratio).  With
     ``return_dist=True`` also returns ``(best_dist, second_dist,
-    cand_idx (K, 4), cand_dist (K, 4))`` — the top-4 candidate set by
-    exact distance, used by the knife-edge precision-escalation path to
-    spot (and strictly re-rank) decisions that sit within
-    descriptor-quantization noise of the threshold or of the argmin gap
-    (any candidate whose device distance is within the margin of the
-    best could strictly win; >4 such candidates has never been
-    observed and the escalation re-ranks all returned ones).
+    cand_idx (K, 4), cand_dist (K, 4), n_inmargin)`` — the top-4
+    candidate set by exact distance, used by the knife-edge
+    precision-escalation path to spot (and strictly re-rank) decisions
+    that sit within descriptor-quantization noise of the threshold or
+    of the argmin gap (any candidate whose device distance is within
+    ``margin`` of the best could strictly win).  ``n_inmargin`` counts,
+    per A row, ALL candidates within ``margin`` of the row's best
+    (including the best itself) over the full B set: the escalation can
+    only re-rank the 4 returned candidates, so the pipeline warns when
+    a borderline row's count exceeds the candidate capacity instead of
+    assuming it never happens (tests/test_strict.py constructs the
+    5-way near-tie).
     """
     d2 = pairwise_sqdist(desc_a, desc_b)
     d2 = jnp.where(valid_b[None, :], d2, _BIG)
@@ -92,8 +98,11 @@ def match_descriptors(
             neg, cand_idx = jax.lax.top_k(-d2, n_cand)
             cand_dist = -neg
             second = cand_dist[:, 1] if n_cand > 1 else best_dist
+            n_inmargin = jnp.sum(
+                (d2 < best_dist[:, None] + margin) & (d2 < _BIG), axis=-1
+            ).astype(jnp.int32)
             return (best_idx, matched, best_dist, second,
-                    cand_idx.astype(jnp.int32), cand_dist)
+                    cand_idx.astype(jnp.int32), cand_dist, n_inmargin)
         return best_idx, matched
 
     refine = min(refine, desc_b.shape[0])
@@ -125,5 +134,10 @@ def match_descriptors(
         second = (
             out_dist[:, min(1, n_cand - 1)] if n_cand > 1 else best_dist
         )
-        return best_idx, matched, best_dist, second, out_idx, out_dist
+        # in-margin count over the full row (approximate distances are
+        # fine for the guard; the SIFT escalation path uses refine=1)
+        n_inmargin = jnp.sum(
+            (d2 < best_dist[:, None] + margin) & (d2 < _BIG), axis=-1
+        ).astype(jnp.int32)
+        return best_idx, matched, best_dist, second, out_idx, out_dist, n_inmargin
     return best_idx, matched

@@ -39,8 +39,18 @@ import numpy as np
 
 from vfx_image_stitching_tpu.config import SiftConfig
 
-# worst case distance shift of one +-1 component flip is 2*255 + 1;
-# two flips (one per endpoint) bound the default margin
+# One +-1 component flip shifts a squared distance by at most 2*255 + 1;
+# the default margin covers two such flips (one per descriptor endpoint):
+# 2 * (2*255 + 1) = 1022, rounded up.  This is a PROBABILISTIC bound,
+# not a worst case: a descriptor with >= 2 f32-noise-flipped components
+# (or both endpoints flipping in the same row) could shift a distance
+# past the margin and be decided without escalation.  Flips require a
+# component to sit within f32-noise of a 0.5/512 rounding boundary
+# (~1e-5 relative), so k simultaneous flips on one descriptor pair decay
+# ~geometrically; across all four reference datasets the observed
+# maximum is ONE flipped component per pair (PARITY.md deviation 1), so
+# two is already a 2x headroom.  Raise MatchConfig.borderline_margin to
+# 2048+ to cover deeper flip multiplicities at more escalation cost.
 DEFAULT_BORDERLINE_MARGIN = 1024.0
 
 
@@ -515,14 +525,21 @@ def _first_max_winner(moves: np.ndarray, matched: np.ndarray,
 
 def _material_rows(moves: np.ndarray, matched: np.ndarray,
                    border_flip: np.ndarray, border_swap: np.ndarray,
+                   alt_moves: np.ndarray, alt_valid: np.ndarray,
                    thresh_sq: float) -> np.ndarray:
     """Unresolved borderline rows still material in the CURRENT state.
 
-    Host replay of estimate/ransac.translation_ransac_material (same
-    semantics: exact flip scenarios incl. any-match changes, plus the
-    swap over-approximation against the winner's post-swap count),
-    restricted to the matched+borderline subset for the fixed-point
-    rounds of :func:`escalate_pair`.
+    Host replay of estimate/ransac.translation_ransac_material — the
+    same exact scenario space: per borderline row, (a) the flip scenario
+    toggles the row's matched bit at its current move; (b) per valid
+    alternative candidate (``alt_moves[r, c]`` where ``alt_valid[r, c]``)
+    the swap scenario re-lands the row matched at the alternative move.
+    A row is material when any of its scenarios changes the first-max
+    winner row, changes ``any_match``, or makes the row itself win a
+    swap scenario (the seed pair changes even on a vote tie).  Restricted
+    to the matched+borderline subset for the fixed-point rounds of
+    :func:`escalate_pair`; each scenario is re-voted from scratch
+    (brute force — a handful of borderline rows, so clarity wins).
     """
     candidates = border_flip | border_swap
     rows = np.nonzero(matched | candidates)[0]
@@ -530,44 +547,43 @@ def _material_rows(moves: np.ndarray, matched: np.ndarray,
     if rows.size == 0:
         return out
     sub = moves[rows]
-    d2 = ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
-    adj = d2 < thresh_sq
     m_sub = matched[rows]
-    votes = (adj & m_sub[None, :]).sum(1)
     any_now = bool(m_sub.any())
-    best = int(np.argmax(np.where(m_sub, votes, -1))) if any_now else -1
-    best_votes = int(votes[best]) if any_now else 0
+    best = _subset_winner(sub, m_sub, thresh_sq)
 
     for j in np.nonzero(candidates[rows])[0]:
         r = int(rows[j])
-        # flip scenario (exact)
-        sign = -1 if m_sub[j] else 1
-        counts = votes + sign * adj[:, j].astype(int)
-        cand = m_sub.copy()
-        cand[j] = not m_sub[j]
-        scen_any = bool(cand.any())
-        if scen_any != any_now:
+        # flip scenario (exact): toggle matched at the current move
+        scen_m = m_sub.copy()
+        scen_m[j] = not m_sub[j]
+        wj = _subset_winner(sub, scen_m, thresh_sq)
+        if (wj < 0) != (not any_now) or (wj >= 0 and wj != best):
             out[r] = True
             continue
-        if scen_any:
-            wj = int(np.argmax(np.where(cand, counts, -1)))
-            if wj != best:
+        if not border_swap[r]:
+            continue
+        # swap scenarios (exact): row j re-lands matched at each valid
+        # alternative candidate move
+        for c in np.nonzero(alt_valid[r])[0]:
+            scen_m = m_sub.copy()
+            scen_m[j] = True
+            scen_sub = sub.copy()
+            scen_sub[j] = alt_moves[r, int(c)]
+            wj = _subset_winner(scen_sub, scen_m, thresh_sq)
+            if wj != best or wj == int(j) or not any_now:
                 out[r] = True
-                continue
-        if not border_swap[r] or not any_now:
-            continue
-        # swap over-approximation: rival (or a fresh one-vote cluster)
-        # vs the winner's post-swap count under first-max order
-        own = int(m_sub[j] and adj[best, j])
-        win_after = best_votes - own
-        keys = np.where(
-            ~adj[best], 2 * (votes + 1) + (np.arange(rows.size) < best),
-            np.iinfo(np.int64).min,
-        )
-        new_key = 2 + int(j < best)
-        if max(int(keys.max()), new_key) > 2 * win_after:
-            out[r] = True
+                break
     return out
+
+
+def _subset_winner(sub: np.ndarray, m_sub: np.ndarray,
+                   thresh_sq: float) -> int:
+    """First-max winner index within the subset rows (-1 when no match)."""
+    if not m_sub.any():
+        return -1
+    d2 = ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+    votes = ((d2 < thresh_sq) & m_sub[None, :]).sum(1)
+    return int(np.argmax(np.where(m_sub, votes, -1)))
 
 
 def escalate_pair(
@@ -619,6 +635,13 @@ def escalate_pair(
     best_b = best_b.copy()
     resolved = np.zeros_like(border_flip)
     moves = xy_a.astype(np.float64) - xy_b[best_b].astype(np.float64)
+    # alternative hypothesis moves for the swap scenarios of the host
+    # materiality replay — same candidate set the device analysis used
+    # (non-best candidates within margin of the row's best)
+    alt_valid = cand_dist[:, 1:] < cand_dist[:, :1] + margin
+    alt_moves = xy_a[:, None, :].astype(np.float64) - xy_b[
+        cand_idx[:, 1:]
+    ].astype(np.float64)
 
     to_resolve = material & valid_a & ~resolved
     for _ in range(8):  # fixed-point iteration bound
@@ -667,7 +690,7 @@ def escalate_pair(
         unresolved = valid_a & ~resolved
         to_resolve = _material_rows(
             moves, matched, border_flip & unresolved,
-            border_swap & unresolved, ransac_thresh,
+            border_swap & unresolved, alt_moves, alt_valid, ransac_thresh,
         )
 
     win_row = _first_max_winner(moves, matched, ransac_thresh)

@@ -61,24 +61,28 @@ def _pair_shift(
 ):
     """Shift + winning pair for one adjacent image pair (fixed shape).
 
-    Returns the 13-tuple ``(shift, pair_a, pair_b, any_match, n_matched,
+    Returns the 14-tuple ``(shift, pair_a, pair_b, any_match, n_matched,
     best_b, cand_idx, cand_dist, matched, border_flip, border_swap,
-    material, n_material)``.  With ``margin > 0`` the escalation signals
-    are live (see models/sift/strict.py): ``border_flip`` rows sit
-    within ``margin`` of the absolute threshold, ``border_swap`` rows
-    within ``margin`` of their argmin runner-up (matched or not — a row
-    that strictly flips to matched needs its argmin re-ranked too) —
-    either could flip under +-1 descriptor quantization;
-    ``cand_idx``/``cand_dist`` carry the top-4 candidate set the strict
-    re-rank draws from; ``material`` marks the subset whose change could
-    alter the winning hypothesis (the O(K^2) analysis runs on device
-    inside the vote, estimate/ransac.py), so the host is only involved
-    when a seam genuinely hangs on quantization noise.
+    material, n_material, max_inmargin)``.  With ``margin > 0`` the
+    escalation signals are live (see models/sift/strict.py):
+    ``border_flip`` rows sit within ``margin`` of the absolute
+    threshold, ``border_swap`` rows within ``margin`` of their argmin
+    runner-up (matched or not — a row that strictly flips to matched
+    needs its argmin re-ranked too) — either could flip under +-1
+    descriptor quantization; ``cand_idx``/``cand_dist`` carry the top-4
+    candidate set the strict re-rank draws from; ``material`` marks the
+    subset whose change could alter the winning hypothesis (the exact
+    per-candidate scenario analysis runs on device inside the vote,
+    estimate/ransac.py), so the host is only involved when a seam
+    genuinely hangs on quantization noise.  ``max_inmargin`` is the
+    largest in-margin candidate count over the borderline-swap rows —
+    the guard for the top-4 candidate capacity (the pipeline warns when
+    it exceeds the candidates the strict re-rank can see).
     """
-    best_b, matched, best_dist, second, cand_idx, cand_dist = (
+    best_b, matched, best_dist, second, cand_idx, cand_dist, n_inmargin = (
         match_descriptors(
             desc_a, valid_a, desc_b, valid_b, desc_thresh, refine=refine,
-            return_dist=True,
+            return_dist=True, margin=margin,
         )
     )
     pts_a = xy_a.astype(jnp.float32)
@@ -93,14 +97,25 @@ def _pair_shift(
             valid_a & ((second - best_dist) < margin)
             & (matched | border_flip)
         )
+        # alternative hypothesis moves for the exact swap scenarios: the
+        # non-best top-k candidates within margin of the row's best (only
+        # those can strictly win the argmin)
+        alt_valid = cand_dist[:, 1:] < cand_dist[:, :1] + margin
+        alt_moves = pts_a[:, None, :] - xy_b[cand_idx[:, 1:]].astype(
+            jnp.float32
+        )
         from vfx_image_stitching_tpu.estimate.ransac import (
             translation_ransac_material,
         )
 
         best_i, votes, any_match, material, n_material = (
             translation_ransac_material(moves, matched, border_flip,
-                                        border_swap, ransac_thresh)
+                                        border_swap, alt_moves, alt_valid,
+                                        ransac_thresh)
         )
+        max_inmargin = jnp.max(
+            jnp.where(border_swap, n_inmargin, 0), initial=0
+        ).astype(jnp.int32)
     else:
         best_i, votes, any_match = translation_ransac(
             moves, matched, ransac_thresh
@@ -109,13 +124,14 @@ def _pair_shift(
         border_swap = border_flip
         material = border_flip
         n_material = jnp.int32(0)
+        max_inmargin = jnp.int32(0)
     shift = jnp.where(any_match, moves[best_i], jnp.zeros(2, jnp.float32))
     pair_a = jnp.where(any_match, pts_a[best_i], jnp.zeros(2, jnp.float32))
     pair_b = jnp.where(any_match, pts_b[best_i], jnp.zeros(2, jnp.float32))
     return (
         shift, pair_a, pair_b, any_match, jnp.sum(matched),
         best_b, cand_idx, cand_dist, matched, border_flip, border_swap,
-        material, n_material,
+        material, n_material, max_inmargin,
     )
 
 
@@ -170,7 +186,7 @@ def _concat_feats(feats_list):
 def dispatch_pair_step(xy, descs, valid_kp, cfg: StitchConfig):
     """Dispatch the vmapped adjacent-pair step (async).
 
-    Returns the 13-tuple of :func:`_pair_shift` outputs with a leading
+    Returns the 14-tuple of :func:`_pair_shift` outputs with a leading
     (N-1) pair axis — see its docstring for the field list.
     """
     mcfg = cfg.match()
@@ -215,13 +231,21 @@ def finalize_pairwise_shifts(
     cfg: StitchConfig,
     host_images: Optional[Sequence] = None,
     focals: Optional[Sequence[float]] = None,
+    timings_out: Optional[dict] = None,
 ) -> Tuple[List[Tuple[float, float]], List[Optional[tuple]], np.ndarray]:
-    """Pull pair results, warn on capacity hits, escalate knife edges."""
+    """Pull pair results, warn on capacity hits, escalate knife edges.
+
+    With ``timings_out`` (a dict) the host-side phase budget is recorded
+    into it: ``bundle_pull_s`` (the first device sync — includes waiting
+    for extract + pair compute and the tunneled transfer) and
+    ``escalate_s`` (host strict re-decisions incl. the escalation-input
+    bundle pull).
+    """
     mcfg = cfg.match()
     (
         shifts_d, pa_d, pb_d, any_d, counts_d,
         bestb_d, candidx_d, canddist_d, matched_d, bflip_d, bswap_d,
-        material_d, nmaterial_d,
+        material_d, nmaterial_d, maxinm_d,
     ) = pair_out
 
     # ONE small device->host transfer for everything scalar-sized: on a
@@ -234,11 +258,15 @@ def finalize_pairwise_shifts(
         shifts_d.reshape(-1), pa_d.reshape(-1), pb_d.reshape(-1),
         any_d.astype(jnp.float32), counts_d.astype(jnp.float32),
         nmaterial_d.astype(jnp.float32),
+        maxinm_d.astype(jnp.float32),
     ]
     stat_keys = sorted(stats) if stats is not None else []
     for key in stat_keys:
         parts.append(stats[key].reshape(-1).astype(jnp.float32))
+    _tb0 = time.time()
     bundle = np.asarray(jnp.concatenate(parts))
+    if timings_out is not None:
+        timings_out["bundle_pull_s"] = time.time() - _tb0
 
     shifts_np = bundle[: 2 * n1].reshape(n1, 2).astype(np.float64)
     pa_np = bundle[2 * n1 : 4 * n1].reshape(n1, 2).astype(np.float64)
@@ -246,7 +274,25 @@ def finalize_pairwise_shifts(
     any_np = bundle[6 * n1 : 7 * n1] != 0.0
     counts = bundle[7 * n1 : 8 * n1].astype(np.int64)
     nmaterial_np = bundle[8 * n1 : 9 * n1].astype(np.int64)
-    off = 9 * n1
+    maxinm_np = bundle[9 * n1 : 10 * n1].astype(np.int64)
+    off = 10 * n1
+
+    # top-4 candidate-capacity guard: the strict re-rank can only consider
+    # the candidates the device exported, so an in-margin candidate count
+    # beyond that capacity is surfaced, never silently dropped
+    n_cand_cap = int(candidx_d.shape[-1])
+    if (maxinm_np > n_cand_cap).any():
+        import warnings
+
+        worst = int(maxinm_np.max())
+        pairs_over = np.nonzero(maxinm_np > n_cand_cap)[0].tolist()
+        warnings.warn(
+            "strict escalation candidate capacity exceeded: a borderline "
+            f"row has {worst} in-margin candidates but only the top "
+            f"{n_cand_cap} are re-ranked (pairs {pairs_over}); parity may "
+            "degrade — raise the candidate width in match_descriptors",
+            RuntimeWarning, stacklevel=2,
+        )
     if stats is not None:
         import warnings
 
@@ -269,6 +315,7 @@ def finalize_pairwise_shifts(
     # winning hypothesis — decided on device inside the vote) are
     # re-decided on host with reference-exact arithmetic + an f64 re-vote.
     if meta is not None and mcfg.borderline_margin > 0 and nmaterial_np.any():
+        _te0 = time.time()
         from vfx_image_stitching_tpu.models.sift.strict import escalate_pair
 
         # ONE fixed-shape transfer for every escalation input.  Slicing
@@ -287,6 +334,8 @@ def finalize_pairwise_shifts(
                     bswap_d, material_d):
             parts2.append(arr.reshape(-1).astype(jnp.float32))
         esc_bundle = np.asarray(jnp.concatenate(parts2))
+        if timings_out is not None:
+            timings_out["esc_pull_s"] = time.time() - _te0
 
         pos = 0
 
@@ -351,6 +400,8 @@ def finalize_pairwise_shifts(
                 shifts_np[i] = shift
                 pa_np[i] = pair[0]
                 pb_np[i] = pair[1]
+        if timings_out is not None:
+            timings_out["escalate_s"] = time.time() - _te0
 
     shifts: List[Tuple[float, float]] = []
     pairs: List[Optional[tuple]] = []
@@ -387,6 +438,8 @@ class _Finalized:
     finalize_s: float
     compose_s: float
     crop_s: float
+    detail: dict  # fine-grained phase budget (bundle_pull/escalate/
+    #               plan_dispatch/mosaic_pull), host-clock seconds
 
 
 def finalize_to_panorama(
@@ -403,10 +456,11 @@ def finalize_to_panorama(
     semantics (and transfer bundling — bounds + mosaic in one
     device_get) can never drift between them.
     """
+    detail: dict = {}
     t0 = time.time()
     shifts, pairs, counts = finalize_pairwise_shifts(
         cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
-        host_images=host_images, focals=focals,
+        host_images=host_images, focals=focals, timings_out=detail,
     )
     t1 = time.time()
     n = cyl.shape[0]
@@ -416,16 +470,20 @@ def finalize_to_panorama(
     mosaic_d, steps = out if return_steps else (out, None)
     from vfx_image_stitching_tpu.compose.crop import _content_bounds
 
+    t1b = time.time()
+    detail["plan_dispatch_s"] = t1b - t1
     bounds, mosaic = jax.device_get((
         _content_bounds(mosaic_d, jnp.uint8(cfg.black_threshold)), mosaic_d,
     ))
     t2 = time.time()
+    detail["mosaic_pull_s"] = t2 - t1b
     panorama = rectangle_crop(mosaic, cfg.black_threshold, margin, bounds=bounds)
     t3 = time.time()
     return _Finalized(
         panorama=panorama, mosaic=mosaic, shifts=shifts,
         corrected=corrected, pairs=pairs, counts=counts, steps=steps,
         finalize_s=t1 - t0, compose_s=t2 - t1, crop_s=t3 - t2,
+        detail=detail,
     )
 
 
@@ -502,6 +560,7 @@ def _stitch_inner(
               f"(matches per pair: {list(map(int, fin.counts))})")
     timings["compose"] = fin.compose_s
     timings["crop"] = fin.crop_s
+    timings.update(fin.detail)
     t4 = time.time()
     timings["total"] = t4 - t0
     if verbose:
