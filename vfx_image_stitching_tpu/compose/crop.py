@@ -37,6 +37,38 @@ def crop_bounds(img_device, black_threshold: int):
     )
 
 
+@jax.jit
+def mosaic_with_bounds(img: jnp.ndarray, black_threshold: jnp.ndarray):
+    """Mosaic + content bounds as ONE u8 buffer (single-transfer pull).
+
+    ``jax.device_get`` of a (bounds-tuple, mosaic) pair issues one fetch
+    per leaf — six round trips on a tunneled link (~50 ms RTT each,
+    docs/DEVNOTES.md).  This packs the five bounds scalars into the
+    first 10 bytes of an extra u8 row appended to the mosaic (values
+    < 2^16, little-endian pairs) so the whole result is one array and
+    one transfer; :func:`unpack_mosaic_bounds` reverses it on host.
+    """
+    y0, y1, x0, x1, anyc = _content_bounds(img, black_threshold)
+    vals = jnp.stack(
+        [y0, y1, x0, x1, anyc.astype(jnp.int32)]
+    ).astype(jnp.int32)
+    lo = (vals & 0xFF).astype(jnp.uint8)
+    hi = ((vals >> 8) & 0xFF).astype(jnp.uint8)
+    h, w, c = img.shape
+    extra = jnp.zeros((w * c,), jnp.uint8)
+    extra = extra.at[0:10:2].set(lo).at[1:10:2].set(hi)
+    return jnp.concatenate([img.reshape(-1), extra]).reshape(h + 1, w, c)
+
+
+def unpack_mosaic_bounds(buf: np.ndarray):
+    """Host-side inverse of :func:`mosaic_with_bounds`."""
+    mosaic = buf[:-1]
+    raw = buf[-1].reshape(-1)[:10].astype(np.int64)
+    vals = raw[0::2] | (raw[1::2] << 8)
+    bounds = (vals[0], vals[1], vals[2], vals[3], bool(vals[4]))
+    return mosaic, bounds
+
+
 def apply_crop(
     img: np.ndarray, bounds, extra_margin: int
 ) -> np.ndarray:

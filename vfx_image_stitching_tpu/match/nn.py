@@ -95,8 +95,20 @@ def match_descriptors(
             matched = matched & (best_dist < lowe_ratio * lowe_ratio * second)
         if return_dist:
             n_cand = min(4, d2.shape[1])
-            neg, cand_idx = jax.lax.top_k(-d2, n_cand)
-            cand_dist = -neg
+            # iterative argmin+mask instead of lax.top_k: top_k lowers to
+            # a full stable sort of the (K_A, K_B) distance matrix on TPU
+            # (measured 82 ms/pair on parrington); four bandwidth-bound
+            # min passes produce the identical (value, first-index) order
+            cols = jnp.arange(d2.shape[1], dtype=jnp.int32)[None, :]
+            d2m = d2
+            idxs = [best_idx]
+            dists = [best_dist]
+            for _ in range(n_cand - 1):
+                d2m = jnp.where(cols == idxs[-1][:, None], _BIG, d2m)
+                dists.append(jnp.min(d2m, axis=-1))
+                idxs.append(jnp.argmin(d2m, axis=-1).astype(jnp.int32))
+            cand_idx = jnp.stack(idxs, axis=-1)
+            cand_dist = jnp.stack(dists, axis=-1)
             second = cand_dist[:, 1] if n_cand > 1 else best_dist
             n_inmargin = jnp.sum(
                 (d2 < best_dist[:, None] + margin) & (d2 < _BIG), axis=-1

@@ -71,6 +71,7 @@ def compute_descriptors_pallas(
     kps: Keypoints,
     octave: int,
     cfg: SiftConfig,
+    layer_base: int = 0,
 ) -> jnp.ndarray:
     """Tiled-window Pallas path: trilinear bins never leave VMEM."""
     from vfx_image_stitching_tpu.models.sift.pallas_kernels import (
@@ -81,6 +82,7 @@ def compute_descriptors_pallas(
     layer, pt_x, pt_y, angle, cos_a, sin_a, hist_width, half_w = _window_params(
         kps, cfg, rows_dim, cols_dim
     )
+    layer = jnp.clip(layer - layer_base, 0, mag_stack.shape[-3] - 1)
     safe_hw = jnp.where(hist_width > 0.0, hist_width, 1.0)
     vec = descriptor_histograms(
         mag_stack, ang_stack, layer, pt_y, pt_x, half_w,
@@ -98,13 +100,17 @@ def compute_descriptors(
     octave: int,
     cfg: SiftConfig,
     half_cap: int | None = None,
+    layer_base: int = 0,
 ) -> jnp.ndarray:
     """(K, 128) descriptors for *converted* keypoints of one octave.
 
-    ``mag_stack``/``ang_stack`` are the (6, H_o, W_o) gradient fields of
-    the keypoints' own octave (after conversion ``unpack_octave`` yields
-    ``octv = octave - 1`` and the reference reads
-    ``gaussian_images[octv + 1][layer]`` — i.e. this very octave).
+    ``mag_stack``/``ang_stack`` are the gradient fields of the keypoints'
+    own octave (after conversion ``unpack_octave`` yields ``octv =
+    octave - 1`` and the reference reads ``gaussian_images[octv + 1]
+    [layer]`` — i.e. this very octave).  The pipeline passes 3-level
+    stacks holding only the consumable layers 1..num_intervals with
+    ``layer_base=1``; the reference-shaped API passes full 6-level
+    stacks (layer_base=0).
     """
     caps = cfg.capacities
     if half_cap is None:
@@ -129,11 +135,12 @@ def compute_descriptors(
     half_w = jnp.minimum(half_w, half_cap)
 
     lane_align = caps.desc_lane_align
+    lyr = jnp.clip(layer - layer_base, 0, mag_stack.shape[-3] - 1)
     magw, rows, cols = _window_gather(
-        mag_stack, layer, pt_y, pt_x, half_cap, lane_align
+        mag_stack, lyr, pt_y, pt_x, half_cap, lane_align
     )
     angw, _, _ = _window_gather(
-        ang_stack, layer, pt_y, pt_x, half_cap, lane_align
+        ang_stack, lyr, pt_y, pt_x, half_cap, lane_align
     )
 
     ys = rows - pt_y[:, None]                       # (K, S) row offsets
@@ -210,6 +217,7 @@ def compute_descriptors_chunked(
     octave: int,
     cfg: SiftConfig,
     half_cap: int | None = None,
+    layer_base: int = 0,
 ) -> jnp.ndarray:
     """Chunked one-hot GEMM descriptor path (the measured-fastest).
 
@@ -235,7 +243,7 @@ def compute_descriptors_chunked(
         return jax.lax.cond(
             jnp.any(chunk_kps.valid),
             lambda kk: compute_descriptors(
-                mag_stack, ang_stack, kk, octave, cfg, half_cap
+                mag_stack, ang_stack, kk, octave, cfg, half_cap, layer_base
             ),
             lambda kk: jnp.zeros((chunk, out_dim), jnp.float32),
             chunk_kps,
@@ -254,6 +262,7 @@ def compute_descriptors_bucketed(
     cfg: SiftConfig,
     small_cap: int,
     big_cap: int,
+    layer_base: int = 0,
 ) -> jnp.ndarray:
     """Size-bucketed descriptors: small windows for most keypoints.
 
@@ -288,10 +297,11 @@ def compute_descriptors_bucketed(
 
     d_small = compute_descriptors_chunked(
         mag_stack, ang_stack, take(idx_small, in_small), octave, cfg,
-        half_cap=caps.desc_small_half,
+        half_cap=caps.desc_small_half, layer_base=layer_base,
     )
     d_big = compute_descriptors_chunked(
         mag_stack, ang_stack, take(idx_big, in_big), octave, cfg,
+        layer_base=layer_base,
     )
 
     # scatter back; filler indices may collide with real rows, so each

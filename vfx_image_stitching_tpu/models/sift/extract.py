@@ -92,16 +92,22 @@ def sift_keypoints_and_descriptors(
         loc_counts.append(jnp.sum(loc.valid))
         loc_caps.append(loc_cap)
         loc = compact_localized(loc, loc_cap)
-        # gradient fields (sqrt + atan2 over the whole octave) are only
-        # consumed by the orientation/descriptor windows — skip them when
-        # the octave localized nothing (typical for the tail octaves)
+        # gradient fields (sqrt + atan2 over the octave) are only
+        # consumed by the orientation/descriptor windows, and only at the
+        # localized layers 1..num_intervals (localize.py clips the final
+        # layer there) — levels 0 and the top two are dead work, so only
+        # the 3-level slice is computed (layer_base=1 re-bases the
+        # consumers' plane index).  Skip entirely when the octave
+        # localized nothing (typical for the tail octaves).
+        grad_src = pyramid[o][..., 1 : cfg.num_intervals + 1, :, :]
         mag, ang = jax.lax.cond(
             jnp.any(loc.valid),
             lambda s: gradient_fields(s),
             lambda s: (jnp.zeros_like(s), jnp.zeros_like(s)),
-            pyramid[o],
+            grad_src,
         )
-        kps = assign_orientations_chunked(mag, ang, loc, o, cfg)
+        kps = assign_orientations_chunked(mag, ang, loc, o, cfg,
+                                          layer_base=1)
         o_cap = caps.scaled_oriented(o)
         kps_c = compact(kps, o_cap)
         kps_c = convert_keypoints_to_input_image_size(kps_c)
@@ -111,11 +117,13 @@ def sift_keypoints_and_descriptors(
                 mag, ang, kps_c, o, cfg,
                 small_cap=min(caps._table(caps.desc_small_caps, o), o_cap),
                 big_cap=big_cap,
+                layer_base=1,
             )
             desc_big_counts.append(big_count)
             desc_big_caps.append(big_cap)
         else:
-            desc = compute_descriptors_chunked(mag, ang, kps_c, o, cfg)
+            desc = compute_descriptors_chunked(mag, ang, kps_c, o, cfg,
+                                               layer_base=1)
             desc_big_counts.append(jnp.int32(0))
             desc_big_caps.append(1)
         per_kps.append(kps_c)

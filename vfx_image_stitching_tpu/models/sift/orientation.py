@@ -79,6 +79,7 @@ def assign_orientations_chunked(
     octave: int,
     cfg: SiftConfig,
     chunk: int = 512,
+    layer_base: int = 0,
 ) -> Keypoints:
     """`assign_orientations` with all-filler candidate chunks skipped.
 
@@ -100,7 +101,8 @@ def assign_orientations_chunked(
 
     def one(loc_c):
         def live(l):
-            return assign_orientations(mag_stack, ang_stack, l, octave, cfg)
+            return assign_orientations(mag_stack, ang_stack, l, octave, cfg,
+                                       layer_base=layer_base)
 
         def dead(l):
             m = chunk * p_cap
@@ -126,12 +128,16 @@ def assign_orientations(
     loc: Localized,
     octave: int,
     cfg: SiftConfig,
+    layer_base: int = 0,
 ) -> Keypoints:
     """Emit up to ``max_orientations`` oriented keypoints per candidate.
 
     Returns a Keypoints set of capacity K * max_orientations, ordered
     (candidate-major, peak-bin ascending) to match the reference's
-    emission order.
+    emission order.  ``layer_base`` re-bases the gradient-stack plane
+    index: the pipeline passes 3-level stacks holding layers
+    1..num_intervals (layer_base=1); the reference-shaped API passes
+    full 6-level stacks (layer_base=0).
     """
     caps = cfg.capacities
     half = caps.max_radius
@@ -145,6 +151,9 @@ def assign_orientations(
     cx = jnp.rint(loc.pt_x * inv_scale_o).astype(jnp.int32)
     cy = jnp.rint(loc.pt_y * inv_scale_o).astype(jnp.int32)
     k = loc.x.shape[0]
+    # filler slots carry layer 0, which re-bases below 0 — clamp so the
+    # (masked-out) window fetch stays in bounds
+    lyr = jnp.clip(loc.layer - layer_base, 0, mag_stack.shape[-3] - 1)
 
     if cfg.use_pallas:
         from vfx_image_stitching_tpu.models.sift.pallas_kernels import (
@@ -152,12 +161,12 @@ def assign_orientations(
         )
 
         raw = orientation_histograms(
-            mag_stack, ang_stack, loc.layer, cy, cx, radius, weight_factor,
+            mag_stack, ang_stack, lyr, cy, cx, radius, weight_factor,
             loc.valid, half, h, w, nb,
         )
     else:
-        magw, rows, cols = _window_gather(mag_stack, loc.layer, cy, cx, half)
-        angw, _, _ = _window_gather(ang_stack, loc.layer, cy, cx, half)
+        magw, rows, cols = _window_gather(mag_stack, lyr, cy, cx, half)
+        angw, _, _ = _window_gather(ang_stack, lyr, cy, cx, half)
 
         dy = rows - cy[:, None]           # (K, S)
         dx = cols - cx[:, None]

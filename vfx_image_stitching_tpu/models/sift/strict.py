@@ -538,8 +538,10 @@ def _material_rows(moves: np.ndarray, matched: np.ndarray,
     winner row, changes ``any_match``, or makes the row itself win a
     swap scenario (the seed pair changes even on a vote tie).  Restricted
     to the matched+borderline subset for the fixed-point rounds of
-    :func:`escalate_pair`; each scenario is re-voted from scratch
-    (brute force — a handful of borderline rows, so clarity wins).
+    :func:`escalate_pair`; scenario counts reuse the base adjacency the
+    same way the device analysis does (O(M) per scenario, not a
+    from-scratch re-vote — this runs on the warm path per pipeline run).
+    tests/test_strict.py fuzzes it against a from-scratch oracle.
     """
     candidates = border_flip | border_swap
     rows = np.nonzero(matched | candidates)[0]
@@ -548,42 +550,49 @@ def _material_rows(moves: np.ndarray, matched: np.ndarray,
         return out
     sub = moves[rows]
     m_sub = matched[rows]
+    diff = sub[:, None, :] - sub[None, :, :]
+    d2 = (diff * diff).sum(-1)
+    adj = d2 < thresh_sq
+    votes = (adj & m_sub[None, :]).sum(1)
     any_now = bool(m_sub.any())
-    best = _subset_winner(sub, m_sub, thresh_sq)
+    best = int(np.argmax(np.where(m_sub, votes, -1))) if any_now else -1
+    k = rows.size
+    cand_j = np.nonzero(candidates[rows])[0]        # subset indices
+    nj = cand_j.size
 
-    for j in np.nonzero(candidates[rows])[0]:
+    # flip scenarios, vectorized over the candidate rows
+    sign = np.where(m_sub[cand_j], -1, 1)
+    counts = votes[None, :] + sign[:, None] * adj[cand_j].astype(np.int64)
+    cand_m = np.broadcast_to(m_sub, (nj, k)).copy()
+    cand_m[np.arange(nj), cand_j] = ~m_sub[cand_j]
+    scen_any = cand_m.any(1)
+    winner_j = np.argmax(np.where(cand_m, counts, -1), axis=1)
+    flip_changes = (scen_any != any_now) | (
+        scen_any & any_now & (winner_j != best)
+    )
+    out[rows[cand_j]] = flip_changes
+
+    # swap scenarios (exact, per valid alternative; device formulas)
+    for j in cand_j[border_swap[rows[cand_j]] & ~flip_changes]:
+        j = int(j)
         r = int(rows[j])
-        # flip scenario (exact): toggle matched at the current move
-        scen_m = m_sub.copy()
-        scen_m[j] = not m_sub[j]
-        wj = _subset_winner(sub, scen_m, thresh_sq)
-        if (wj < 0) != (not any_now) or (wj >= 0 and wj != best):
-            out[r] = True
-            continue
-        if not border_swap[r]:
-            continue
-        # swap scenarios (exact): row j re-lands matched at each valid
-        # alternative candidate move
         for c in np.nonzero(alt_valid[r])[0]:
-            scen_m = m_sub.copy()
-            scen_m[j] = True
-            scen_sub = sub.copy()
-            scen_sub[j] = alt_moves[r, int(c)]
-            wj = _subset_winner(scen_sub, scen_m, thresh_sq)
-            if wj != best or wj == int(j) or not any_now:
+            alt = alt_moves[r, int(c)]
+            ad = sub - alt[None, :]
+            alt_adj = (ad * ad).sum(-1) < thresh_sq
+            dep = (adj[j] & m_sub[j]).astype(np.int64)
+            cnt = votes - dep + alt_adj.astype(np.int64)
+            cnt[j] = (
+                int((alt_adj & m_sub).sum())
+                - int(bool(alt_adj[j]) and bool(m_sub[j])) + 1
+            )
+            cand_s = m_sub.copy()
+            cand_s[j] = True
+            wj = int(np.argmax(np.where(cand_s, cnt, -1)))
+            if wj != best or wj == j or not any_now:
                 out[r] = True
                 break
     return out
-
-
-def _subset_winner(sub: np.ndarray, m_sub: np.ndarray,
-                   thresh_sq: float) -> int:
-    """First-max winner index within the subset rows (-1 when no match)."""
-    if not m_sub.any():
-        return -1
-    d2 = ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
-    votes = ((d2 < thresh_sq) & m_sub[None, :]).sum(1)
-    return int(np.argmax(np.where(m_sub, votes, -1)))
 
 
 def escalate_pair(

@@ -248,11 +248,15 @@ def finalize_pairwise_shifts(
         material_d, nmaterial_d, maxinm_d,
     ) = pair_out
 
-    # ONE small device->host transfer for everything scalar-sized: on a
+    # ONE device->host transfer for EVERYTHING the finalize needs: on a
     # tunneled/high-RTT link every np.asarray is a round trip, so the
-    # shifts/pairs/flags/counts and the capacity stats ride one bundle;
-    # the per-row arrays (best_b/matched/material, meta) stay on device
-    # and are sliced only for the (rare) escalated pairs.
+    # shifts/pairs/flags/counts, the capacity stats AND (for the SIFT
+    # escalation path) the per-row keypoint/candidate arrays all ride a
+    # single fixed-shape bundle.  Round 2 pulled the escalation inputs
+    # as a second bundle gated on n_material > 0; the second dispatch +
+    # round trip cost ~0.2 s warm (docs/PHASE_BUDGET_r03.json) vs
+    # ~50 ms of extra transfer for always including them — and a fixed
+    # shape means the executable never depends on which pairs escalate.
     n1 = int(shifts_d.shape[0])
     parts = [
         shifts_d.reshape(-1), pa_d.reshape(-1), pb_d.reshape(-1),
@@ -263,6 +267,18 @@ def finalize_pairwise_shifts(
     stat_keys = sorted(stats) if stats is not None else []
     for key in stat_keys:
         parts.append(stats[key].reshape(-1).astype(jnp.float32))
+    esc_present = meta is not None and mcfg.borderline_margin > 0
+    if esc_present:
+        # octave packs into < 2^24 so the f32 ride is exact
+        n_img, kcap = xy.shape[:2]
+        meta_keys = sorted(meta)
+        parts.append(xy.reshape(-1))
+        for key in meta_keys:
+            parts.append(meta[key].reshape(-1).astype(jnp.float32))
+        parts.append(valid_kp.reshape(-1).astype(jnp.float32))
+        for arr in (bestb_d, candidx_d, canddist_d, matched_d, bflip_d,
+                    bswap_d, material_d):
+            parts.append(arr.reshape(-1).astype(jnp.float32))
     _tb0 = time.time()
     bundle = np.asarray(jnp.concatenate(parts))
     if timings_out is not None:
@@ -314,35 +330,17 @@ def finalize_pairwise_shifts(
     # a borderline decision is MATERIAL (flipping it would change the
     # winning hypothesis — decided on device inside the vote) are
     # re-decided on host with reference-exact arithmetic + an f64 re-vote.
-    if meta is not None and mcfg.borderline_margin > 0 and nmaterial_np.any():
+    # The inputs were already pulled in the single bundle above.
+    if esc_present and nmaterial_np.any():
         _te0 = time.time()
         from vfx_image_stitching_tpu.models.sift.strict import escalate_pair
 
-        # ONE fixed-shape transfer for every escalation input.  Slicing
-        # per escalated pair would cost a ~50 ms round trip per array on
-        # tunneled links (measured ~0.65 s/pair) and, worse, a remote
-        # recompile whenever a different pair set escalates; pulling the
-        # full (N, K)/(N-1, K) arrays is ~2.5 MB with one executable.
-        # octave packs into < 2^24 so the f32 ride is exact.
-        n_img, kcap = xy.shape[:2]
-        meta_keys = sorted(meta)
-        parts2 = [xy.reshape(-1)]
-        for key in meta_keys:
-            parts2.append(meta[key].reshape(-1).astype(jnp.float32))
-        parts2.append(valid_kp.reshape(-1).astype(jnp.float32))
-        for arr in (bestb_d, candidx_d, canddist_d, matched_d, bflip_d,
-                    bswap_d, material_d):
-            parts2.append(arr.reshape(-1).astype(jnp.float32))
-        esc_bundle = np.asarray(jnp.concatenate(parts2))
-        if timings_out is not None:
-            timings_out["esc_pull_s"] = time.time() - _te0
-
-        pos = 0
+        pos = off
 
         def take(shape):
             nonlocal pos
             size = int(np.prod(shape))
-            out = esc_bundle[pos : pos + size].reshape(shape)
+            out = bundle[pos : pos + size].reshape(shape)
             pos += size
             return out
 
@@ -357,6 +355,9 @@ def finalize_pairwise_shifts(
         bflip_np = take((n1, kcap)) != 0.0
         bswap_np = take((n1, kcap)) != 0.0
         material_np = take((n1, kcap)) != 0.0
+        if timings_out is not None:
+            timings_out["esc_parse_s"] = time.time() - _te0
+            timings_out["esc_n_pairs"] = int((nmaterial_np > 0).sum())
 
         cyl_host_cache: dict = {}
 
@@ -468,13 +469,19 @@ def finalize_to_panorama(
     plan = plan_compose(h, w, n, list(valid), corrected, pairs)
     out = compose_mosaic(cyl, plan, return_steps=return_steps)
     mosaic_d, steps = out if return_steps else (out, None)
-    from vfx_image_stitching_tpu.compose.crop import _content_bounds
+    from vfx_image_stitching_tpu.compose.crop import (
+        mosaic_with_bounds,
+        unpack_mosaic_bounds,
+    )
 
     t1b = time.time()
     detail["plan_dispatch_s"] = t1b - t1
-    bounds, mosaic = jax.device_get((
-        _content_bounds(mosaic_d, jnp.uint8(cfg.black_threshold)), mosaic_d,
-    ))
+    # bounds + mosaic ride ONE u8 buffer: a tuple device_get fetches
+    # each leaf separately (six round trips on the tunneled harness)
+    buf = jax.device_get(
+        mosaic_with_bounds(mosaic_d, jnp.uint8(cfg.black_threshold))
+    )
+    mosaic, bounds = unpack_mosaic_bounds(buf)
     t2 = time.time()
     detail["mosaic_pull_s"] = t2 - t1b
     panorama = rectangle_crop(mosaic, cfg.black_threshold, margin, bounds=bounds)
