@@ -56,8 +56,8 @@ def main() -> None:
     from vfx_image_stitching_tpu.models.sift.strict import escalate_pair
 
     (shifts_d, pa_d, pb_d, any_d, counts_d,
-     bestb_d, candidx_d, canddist_d, matched_d, bflip_d, bswap_d,
-     material_d, nmaterial_d, maxinm_d) = pair_out
+     bestb_d, candidx_d, canddist_d, candinm_d, matched_d, bflip_d,
+     bswap_d, material_d, nmaterial_d, maxinm_d) = pair_out
     n1 = int(shifts_d.shape[0])
     t0 = time.time()
     parts = [

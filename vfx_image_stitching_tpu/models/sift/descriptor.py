@@ -101,6 +101,7 @@ def compute_descriptors(
     cfg: SiftConfig,
     half_cap: int | None = None,
     layer_base: int = 0,
+    ma_stack: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(K, 128) descriptors for *converted* keypoints of one octave.
 
@@ -136,12 +137,23 @@ def compute_descriptors(
 
     lane_align = caps.desc_lane_align
     lyr = jnp.clip(layer - layer_base, 0, mag_stack.shape[-3] - 1)
-    magw, rows, cols = _window_gather(
-        mag_stack, lyr, pt_y, pt_x, half_cap, lane_align
-    )
-    angw, _, _ = _window_gather(
-        ang_stack, lyr, pt_y, pt_x, half_cap, lane_align
-    )
+    if ma_stack is None or lane_align:
+        magw, rows, cols = _window_gather(
+            mag_stack, lyr, pt_y, pt_x, half_cap, lane_align
+        )
+        angw, _, _ = _window_gather(
+            ang_stack, lyr, pt_y, pt_x, half_cap, lane_align
+        )
+    else:
+        # combined (L, H, 2, W) stack built ONCE per octave by the
+        # chunked caller: one dynamic_slice per keypoint instead of two
+        from vfx_image_stitching_tpu.models.sift.orientation import (
+            _window_gather_pair,
+        )
+
+        magw, angw, rows, cols = _window_gather_pair(
+            ma_stack, lyr, pt_y, pt_x, half_cap
+        )
 
     ys = rows - pt_y[:, None]                       # (K, S) row offsets
     xs = cols - pt_x[:, None]                       # (K, S) col offsets
@@ -218,6 +230,7 @@ def compute_descriptors_chunked(
     cfg: SiftConfig,
     half_cap: int | None = None,
     layer_base: int = 0,
+    ma_stack: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Chunked one-hot GEMM descriptor path (the measured-fastest).
 
@@ -233,6 +246,12 @@ def compute_descriptors_chunked(
     if k % chunk != 0:
         chunk = math.gcd(k, chunk) or k
     out_dim = cfg.window_width * cfg.window_width * cfg.desc_bins
+    if ma_stack is None and not cfg.capacities.desc_lane_align:
+        from vfx_image_stitching_tpu.models.sift.orientation import (
+            combine_mag_ang,
+        )
+
+        ma_stack = combine_mag_ang(mag_stack, ang_stack)
 
     def one(chunk_kps):
         # capacities are audited worst-case; a typical image fills well
@@ -243,7 +262,8 @@ def compute_descriptors_chunked(
         return jax.lax.cond(
             jnp.any(chunk_kps.valid),
             lambda kk: compute_descriptors(
-                mag_stack, ang_stack, kk, octave, cfg, half_cap, layer_base
+                mag_stack, ang_stack, kk, octave, cfg, half_cap, layer_base,
+                ma_stack,
             ),
             lambda kk: jnp.zeros((chunk, out_dim), jnp.float32),
             chunk_kps,
@@ -295,13 +315,21 @@ def compute_descriptors_bucketed(
         sub = Keypoints(*[f[idx] for f in kps])
         return sub._replace(valid=member[idx])
 
+    ma_stack = None
+    if not caps.desc_lane_align:
+        from vfx_image_stitching_tpu.models.sift.orientation import (
+            combine_mag_ang,
+        )
+
+        ma_stack = combine_mag_ang(mag_stack, ang_stack)
     d_small = compute_descriptors_chunked(
         mag_stack, ang_stack, take(idx_small, in_small), octave, cfg,
         half_cap=caps.desc_small_half, layer_base=layer_base,
+        ma_stack=ma_stack,
     )
     d_big = compute_descriptors_chunked(
         mag_stack, ang_stack, take(idx_big, in_big), octave, cfg,
-        layer_base=layer_base,
+        layer_base=layer_base, ma_stack=ma_stack,
     )
 
     # scatter back; filler indices may collide with real rows, so each

@@ -59,6 +59,50 @@ def _window_gather(
     return win, rows, cols
 
 
+def combine_mag_ang(mag_stack: jnp.ndarray,
+                    ang_stack: jnp.ndarray) -> jnp.ndarray:
+    """(L, H, 2, W) interleave of the gradient fields for paired gathers.
+
+    Built ONCE per octave (outside any per-chunk loop — inside it the
+    copy would repeat per chunk) and consumed by
+    :func:`_window_gather_pair`.
+    """
+    return jnp.stack([mag_stack, ang_stack], axis=-2)
+
+
+def _window_gather_pair(
+    stack2: jnp.ndarray, layer: jnp.ndarray,
+    cy: jnp.ndarray, cx: jnp.ndarray, half: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gather matching mag+ang windows with ONE dynamic_slice per keypoint.
+
+    The vmapped per-keypoint ``dynamic_slice`` lowers to a sequential
+    while loop on TPU (~1.3 us per slice); gathering mag and ang
+    separately doubles it.  ``stack2`` is the (L, H, 2, W) interleave
+    from :func:`combine_mag_ang`.  Returns ``(magw, angw, rows, cols)``
+    shaped like two :func:`_window_gather` calls.
+    """
+    s = 2 * half + 1
+    hp = max(stack2.shape[-3], s)
+    wp = max(stack2.shape[-1], s)
+    if (hp, wp) != (stack2.shape[-3], stack2.shape[-1]):
+        stack2 = jnp.pad(
+            stack2,
+            [(0, 0), (0, hp - stack2.shape[-3]), (0, 0),
+             (0, wp - stack2.shape[-1])],
+        )
+    sy = jnp.clip(cy - half, 0, hp - s)
+    sx = jnp.clip(cx - half, 0, wp - s)
+
+    def one(l, yy, xx):
+        return jax.lax.dynamic_slice(stack2, (l, yy, 0, xx), (1, s, 2, s))[0]
+
+    win = jax.vmap(one)(layer, sy, sx)                    # (K, S, 2, S)
+    rows = sy[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+    cols = sx[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+    return win[:, :, 0, :], win[:, :, 1, :], rows, cols
+
+
 def _masked_histogram(
     contrib: jnp.ndarray, bins: jnp.ndarray, num_bins: int
 ) -> jnp.ndarray:

@@ -605,7 +605,7 @@ def escalate_pair(
     valid_a: np.ndarray,
     best_b: np.ndarray,
     cand_idx: np.ndarray,
-    cand_dist: np.ndarray,
+    cand_inm: np.ndarray,
     matched: np.ndarray,
     border_flip: np.ndarray,
     border_swap: np.ndarray,
@@ -619,9 +619,10 @@ def escalate_pair(
 
     Per material row the strict pass re-decides BOTH knife-edge classes:
     a ``border_swap`` row's argmin is re-ranked over every device
-    candidate (``cand_idx``/``cand_dist``, the top 4) whose device
-    distance lies within ``margin`` of the row's best — only those can
-    strictly win, since a single distance is off by at most margin/2.
+    candidate flagged in-margin (``cand_idx`` rows of the top-4 where
+    ``cand_inm`` — the device-computed "within ``margin`` of the row's
+    best" mask) — only those can strictly win, since a single distance
+    is off by at most margin/2.
     The strict winner follows the reference's strict-< scan (first
     minimal B index, image_stitching_sift.py:62-79); the threshold test
     then runs on the strict winner distance.
@@ -647,7 +648,7 @@ def escalate_pair(
     # alternative hypothesis moves for the swap scenarios of the host
     # materiality replay — same candidate set the device analysis used
     # (non-best candidates within margin of the row's best)
-    alt_valid = cand_dist[:, 1:] < cand_dist[:, :1] + margin
+    alt_valid = cand_inm[:, 1:].astype(bool)
     alt_moves = xy_a[:, None, :].astype(np.float64) - xy_b[
         cand_idx[:, 1:]
     ].astype(np.float64)
@@ -664,10 +665,8 @@ def escalate_pair(
                 matched[r] = False   # endpoint doesn't survive strictly
                 continue
             if border_swap[r]:
-                row_best = float(np.min(cand_dist[r]))
                 cands = [
-                    int(b) for b, dd in zip(cand_idx[r], cand_dist[r])
-                    if dd < row_best + margin
+                    int(b) for b, m in zip(cand_idx[r], cand_inm[r]) if m
                 ]
             else:
                 cands = [int(best_b[r])]

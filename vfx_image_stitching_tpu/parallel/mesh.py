@@ -80,10 +80,10 @@ def sharded_pairwise_shifts(
     shards); the pair outputs are trimmed back to the real N-1 pairs, which
     never read a padding image.
 
-    Returns the 14-tuple of ``pipeline.stitch._pair_shift`` outputs
+    Returns the 15-tuple of ``pipeline.stitch._pair_shift`` outputs
     (shifts, pair_a, pair_b, any_match, counts, best_b, cand_idx,
-    cand_dist, matched, border_flip, border_swap, material, n_material,
-    max_inmargin) as device arrays with a leading pair axis.
+    cand_dist, cand_inm, matched, border_flip, border_swap, material,
+    n_material, max_inmargin) as device arrays with a leading pair axis.
 
     NOTE: this is the minimal *benchmark* step — ``_pairwise_shift_step``
     runs with ``margin=0`` so the knife-edge escalation signals

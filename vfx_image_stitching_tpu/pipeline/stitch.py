@@ -39,6 +39,15 @@ from vfx_image_stitching_tpu.match import match_descriptors
 from vfx_image_stitching_tpu.models.harris import harris_batch
 
 
+# byte-packed result-bundle layout (finalize_pairwise_shifts): meta
+# fields split by the smallest exact dtype; sentinels verify that the
+# device's u8 bitcast byte order matches the host's little-endian views
+_META_F32 = ("size", "angle", "octave")   # octave packs < 2^24: f32-exact
+_META_U16 = ("ix", "iy", "jx", "jy", "jl")  # cell coords < 2^16
+_SENTINEL_F32 = np.float32(3.1415927)
+_SENTINEL_U16 = np.uint16(0x0102)
+
+
 @dataclasses.dataclass
 class StitchResult:
     panorama: np.ndarray                  # cropped final panorama (BGR u8)
@@ -61,9 +70,12 @@ def _pair_shift(
 ):
     """Shift + winning pair for one adjacent image pair (fixed shape).
 
-    Returns the 14-tuple ``(shift, pair_a, pair_b, any_match, n_matched,
-    best_b, cand_idx, cand_dist, matched, border_flip, border_swap,
-    material, n_material, max_inmargin)``.  With ``margin > 0`` the
+    Returns the 15-tuple ``(shift, pair_a, pair_b, any_match, n_matched,
+    best_b, cand_idx, cand_dist, cand_inm, matched, border_flip,
+    border_swap, material, n_material, max_inmargin)``.  ``cand_inm``
+    marks the exported candidates within ``margin`` of the row's best —
+    the exact set the strict re-rank may consider (shipping the mask
+    instead of f32 distances keeps the host bundle small).  With ``margin > 0`` the
     escalation signals are live (see models/sift/strict.py):
     ``border_flip`` rows sit within ``margin`` of the absolute
     threshold, ``border_swap`` rows within ``margin`` of their argmin
@@ -100,7 +112,8 @@ def _pair_shift(
         # alternative hypothesis moves for the exact swap scenarios: the
         # non-best top-k candidates within margin of the row's best (only
         # those can strictly win the argmin)
-        alt_valid = cand_dist[:, 1:] < cand_dist[:, :1] + margin
+        cand_inm = cand_dist < cand_dist[:, :1] + margin
+        alt_valid = cand_inm[:, 1:]
         alt_moves = pts_a[:, None, :] - xy_b[cand_idx[:, 1:]].astype(
             jnp.float32
         )
@@ -125,13 +138,14 @@ def _pair_shift(
         material = border_flip
         n_material = jnp.int32(0)
         max_inmargin = jnp.int32(0)
+        cand_inm = jnp.zeros_like(cand_dist, dtype=bool)
     shift = jnp.where(any_match, moves[best_i], jnp.zeros(2, jnp.float32))
     pair_a = jnp.where(any_match, pts_a[best_i], jnp.zeros(2, jnp.float32))
     pair_b = jnp.where(any_match, pts_b[best_i], jnp.zeros(2, jnp.float32))
     return (
         shift, pair_a, pair_b, any_match, jnp.sum(matched),
-        best_b, cand_idx, cand_dist, matched, border_flip, border_swap,
-        material, n_material, max_inmargin,
+        best_b, cand_idx, cand_dist, cand_inm, matched, border_flip,
+        border_swap, material, n_material, max_inmargin,
     )
 
 
@@ -186,7 +200,7 @@ def _concat_feats(feats_list):
 def dispatch_pair_step(xy, descs, valid_kp, cfg: StitchConfig):
     """Dispatch the vmapped adjacent-pair step (async).
 
-    Returns the 14-tuple of :func:`_pair_shift` outputs with a leading
+    Returns the 15-tuple of :func:`_pair_shift` outputs with a leading
     (N-1) pair axis — see its docstring for the field list.
     """
     mcfg = cfg.match()
@@ -244,8 +258,8 @@ def finalize_pairwise_shifts(
     mcfg = cfg.match()
     (
         shifts_d, pa_d, pb_d, any_d, counts_d,
-        bestb_d, candidx_d, canddist_d, matched_d, bflip_d, bswap_d,
-        material_d, nmaterial_d, maxinm_d,
+        bestb_d, candidx_d, canddist_d, candinm_d, matched_d, bflip_d,
+        bswap_d, material_d, nmaterial_d, maxinm_d,
     ) = pair_out
 
     # ONE device->host transfer for EVERYTHING the finalize needs: on a
@@ -257,8 +271,13 @@ def finalize_pairwise_shifts(
     # round trip cost ~0.2 s warm (docs/PHASE_BUDGET_r03.json) vs
     # ~50 ms of extra transfer for always including them — and a fixed
     # shape means the executable never depends on which pairs escalate.
+    # The buffer is BYTE-PACKED (u8) with typed regions — f32, then
+    # u16 (small integer fields), then u8 (masks) — which shrinks the
+    # escalation block ~40% vs an all-f32 ride; leading f32/u16
+    # sentinels catch any device<->host byte-order mismatch loudly.
     n1 = int(shifts_d.shape[0])
-    parts = [
+    f32_parts = [
+        jnp.full((1,), _SENTINEL_F32, jnp.float32),
         shifts_d.reshape(-1), pa_d.reshape(-1), pb_d.reshape(-1),
         any_d.astype(jnp.float32), counts_d.astype(jnp.float32),
         nmaterial_d.astype(jnp.float32),
@@ -266,23 +285,52 @@ def finalize_pairwise_shifts(
     ]
     stat_keys = sorted(stats) if stats is not None else []
     for key in stat_keys:
-        parts.append(stats[key].reshape(-1).astype(jnp.float32))
+        f32_parts.append(stats[key].reshape(-1).astype(jnp.float32))
+    u16_parts = [jnp.full((1,), _SENTINEL_U16, jnp.uint16)]
+    u8_parts = []
     esc_present = meta is not None and mcfg.borderline_margin > 0
     if esc_present:
-        # octave packs into < 2^24 so the f32 ride is exact
+        # octave packs into < 2^24 so the f32 ride is exact; the cell
+        # coordinates (ix/iy/jx/jy/jl) and all B indices fit u16
         n_img, kcap = xy.shape[:2]
-        meta_keys = sorted(meta)
-        parts.append(xy.reshape(-1))
-        for key in meta_keys:
-            parts.append(meta[key].reshape(-1).astype(jnp.float32))
-        parts.append(valid_kp.reshape(-1).astype(jnp.float32))
-        for arr in (bestb_d, candidx_d, canddist_d, matched_d, bflip_d,
-                    bswap_d, material_d):
-            parts.append(arr.reshape(-1).astype(jnp.float32))
+        f32_parts.append(xy.reshape(-1))
+        for key in _META_F32:
+            f32_parts.append(meta[key].reshape(-1).astype(jnp.float32))
+        for key in _META_U16:
+            u16_parts.append(meta[key].reshape(-1).astype(jnp.uint16))
+        u16_parts.append(bestb_d.reshape(-1).astype(jnp.uint16))
+        u16_parts.append(candidx_d.reshape(-1).astype(jnp.uint16))
+        for arr in (valid_kp, candinm_d, matched_d, bflip_d, bswap_d,
+                    material_d):
+            u8_parts.append(arr.reshape(-1).astype(jnp.uint8))
     _tb0 = time.time()
-    bundle = np.asarray(jnp.concatenate(parts))
+    segs = [
+        jax.lax.bitcast_convert_type(
+            jnp.concatenate(f32_parts), jnp.uint8
+        ).reshape(-1),
+        jax.lax.bitcast_convert_type(
+            jnp.concatenate(u16_parts), jnp.uint8
+        ).reshape(-1),
+    ]
+    if u8_parts:
+        segs.append(jnp.concatenate(u8_parts))
+    bundle_u8 = np.asarray(jnp.concatenate(segs))
     if timings_out is not None:
         timings_out["bundle_pull_s"] = time.time() - _tb0
+
+    n_f32 = sum(int(np.prod(p.shape)) for p in f32_parts)
+    n_u16 = sum(int(np.prod(p.shape)) for p in u16_parts)
+    bundle = bundle_u8[: 4 * n_f32].view(np.float32)
+    bundle_u16 = bundle_u8[4 * n_f32 : 4 * n_f32 + 2 * n_u16].view(np.uint16)
+    bundle_u8 = bundle_u8[4 * n_f32 + 2 * n_u16 :]
+    if bundle[0] != _SENTINEL_F32 or bundle_u16[0] != _SENTINEL_U16:
+        raise RuntimeError(
+            "bundle byte-order sentinel mismatch: device bitcast bytes "
+            "do not match host little-endian views "
+            f"(f32 {bundle[0]!r}, u16 {bundle_u16[0]!r})"
+        )
+    bundle = bundle[1:]
+    bundle_u16 = bundle_u16[1:]
 
     shifts_np = bundle[: 2 * n1].reshape(n1, 2).astype(np.float64)
     pa_np = bundle[2 * n1 : 4 * n1].reshape(n1, 2).astype(np.float64)
@@ -335,26 +383,33 @@ def finalize_pairwise_shifts(
         _te0 = time.time()
         from vfx_image_stitching_tpu.models.sift.strict import escalate_pair
 
-        pos = off
+        def taker(region, start):
+            pos = [start]
 
-        def take(shape):
-            nonlocal pos
-            size = int(np.prod(shape))
-            out = bundle[pos : pos + size].reshape(shape)
-            pos += size
-            return out
+            def take(shape):
+                size = int(np.prod(shape))
+                out = region[pos[0] : pos[0] + size].reshape(shape)
+                pos[0] += size
+                return out
 
-        xy_np = take((n_img, kcap, 2)).astype(np.float64)
-        meta_np = {key: take((n_img, kcap)) for key in meta_keys}
-        validkp_np = take((n_img, kcap)) != 0.0
+            return take
+
+        take_f = taker(bundle, off)
+        xy_np = take_f((n_img, kcap, 2)).astype(np.float64)
+        meta_np = {key: take_f((n_img, kcap)) for key in _META_F32}
+        take_u16 = taker(bundle_u16, 0)
+        for key in _META_U16:
+            meta_np[key] = take_u16((n_img, kcap))
         n_cand = int(candidx_d.shape[-1])
-        bestb_np = take((n1, kcap)).astype(np.int64)
-        candidx_np = take((n1, kcap, n_cand)).astype(np.int64)
-        canddist_np = take((n1, kcap, n_cand)).astype(np.float64)
-        matched_np = take((n1, kcap)) != 0.0
-        bflip_np = take((n1, kcap)) != 0.0
-        bswap_np = take((n1, kcap)) != 0.0
-        material_np = take((n1, kcap)) != 0.0
+        bestb_np = take_u16((n1, kcap)).astype(np.int64)
+        candidx_np = take_u16((n1, kcap, n_cand)).astype(np.int64)
+        take_u8 = taker(bundle_u8, 0)
+        validkp_np = take_u8((n_img, kcap)) != 0
+        candinm_np = take_u8((n1, kcap, n_cand)) != 0
+        matched_np = take_u8((n1, kcap)) != 0
+        bflip_np = take_u8((n1, kcap)) != 0
+        bswap_np = take_u8((n1, kcap)) != 0
+        material_np = take_u8((n1, kcap)) != 0
         if timings_out is not None:
             timings_out["esc_parse_s"] = time.time() - _te0
             timings_out["esc_n_pairs"] = int((nmaterial_np > 0).sum())
@@ -386,7 +441,7 @@ def finalize_pairwise_shifts(
             esc = escalate_pair(
                 cyl_host(i), cyl_host(i + 1),
                 xy_np[i], meta_a, xy_np[i + 1], meta_b,
-                validkp_np[i], bestb_np[i], candidx_np[i], canddist_np[i],
+                validkp_np[i], bestb_np[i], candidx_np[i], candinm_np[i],
                 matched_np[i], bflip_np[i], bswap_np[i], material_np[i],
                 cfg=cfg.sift,
                 desc_thresh=mcfg.desc_thresh,
