@@ -5,32 +5,41 @@ r2 item 7).
 ``_multi_pano_full_step`` vmaps the per-pano step, which rewrites the
 extractor's chunk-skip ``lax.cond``s into selects — both branches
 execute, so every pano pays worst-case capacity work
-(parallel/mesh.py:129-136 documents this; nothing measured it).  This
-script times, on the virtual 8-device CPU mesh with the dryrun-grade
-small SIFT config:
+(parallel/mesh.py documents this; nothing measured it).  This script
+times, on the virtual 8-device CPU mesh with the dryrun-grade small
+SIFT config:
 
   a) the single-pano full step, per pano (sequential loop over P panos);
   b) the vmapped multi-pano step over the same (P, N, H, W, 3) batch on
      the 2-D (pano, images) mesh.
 
-and reports per-pano times + the penalty ratio.  CPU-mesh numbers are a
-proxy for the *structural* select-vs-cond cost, not chip performance —
-but that structural cost is exactly what the vmap rewrite introduces.
+Each mode runs in its OWN subprocess: on the virtual CPU mesh,
+alternating executions of the unsharded and NamedSharding-committed
+executables in one process trips an XLA "supplied 1 buffers but
+expected 2" error (reproduced both orders; JAX backend quirk).
+
+CPU-mesh numbers are a proxy for the *structural* select-vs-cond cost,
+not chip performance — but that structural cost is exactly what the
+vmap rewrite introduces.
 """
 
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-import __graft_entry__ as ge
+P_PANOS, N_IMGS, H, W = 2, 4, 96, 72
+REPS = 7
 
 
-def main() -> None:
+def measure(mode: str) -> float:
+    import __graft_entry__ as ge
+
     ge._force_cpu_mesh(8)
 
     import numpy as np
@@ -45,50 +54,60 @@ def main() -> None:
 
     cfg = ge._small_sift_config()
     rng = np.random.default_rng(0)
-    p, n = 2, 4
-    batch = jnp.asarray(
-        rng.integers(0, 256, (p, n, 96, 72, 3), dtype=np.uint8)
-    )
-    mesh2 = make_mesh_2d(8)
+    host = rng.integers(0, 256, (P_PANOS, N_IMGS, H, W, 3), dtype=np.uint8)
 
-    def run_single():
-        outs = [_full_shift_step(batch[i], cfg) for i in range(p)]
-        jax.block_until_ready(outs)
-        return outs
+    if mode == "single":
+        ins = [jnp.asarray(host[i]) for i in range(P_PANOS)]
 
-    def run_multi():
-        out = sharded_multi_pano_full(batch, mesh2, cfg)
-        jax.block_until_ready(out)
-        return out
+        def run():
+            outs = [_full_shift_step(b, cfg) for b in ins]
+            jax.block_until_ready(outs)
+    else:
+        mesh2 = make_mesh_2d(8)
+        batch = jnp.asarray(host)
 
-    run_single()  # compile
-    run_multi()   # compile
+        def run():
+            out = sharded_multi_pano_full(batch, mesh2, cfg)
+            jax.block_until_ready(out)
 
-    reps = 7
-    singles, multis = [], []
-    for _ in range(reps):
+    run()  # compile
+    times = []
+    for _ in range(REPS):
         t0 = time.time()
-        run_single()
-        singles.append(time.time() - t0)
-        t0 = time.time()
-        run_multi()
-        multis.append(time.time() - t0)
+        run()
+        times.append(time.time() - t0)
+    return statistics.median(times)
 
-    single_med = statistics.median(singles)
-    multi_med = statistics.median(multis)
-    out = {
-        "config": f"P={p} panos x N={n} imgs, 96x72, small-caps SIFT, "
-                  "8-dev CPU mesh (2x4 pano,images)",
+
+def main() -> None:
+    mode = os.environ.get("VFX_MESH_COST_MODE")
+    if mode:
+        print(json.dumps({"mode": mode, "median_s": measure(mode)}))
+        return
+
+    results = {}
+    for mode in ("single", "multi"):
+        env = dict(os.environ, VFX_MESH_COST_MODE=mode)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[mode] = json.loads(line)["median_s"]
+
+    single_med, multi_med = results["single"], results["multi"]
+    print(json.dumps({
+        "config": f"P={P_PANOS} panos x N={N_IMGS} imgs, {H}x{W}, "
+                  "small-caps SIFT, 8-dev CPU mesh (2x4 pano,images)",
         "single_pano_step_total_s": round(single_med, 4),
-        "single_per_pano_s": round(single_med / p, 4),
+        "single_per_pano_s": round(single_med / P_PANOS, 4),
         "vmapped_multi_pano_total_s": round(multi_med, 4),
-        "vmapped_per_pano_s": round(multi_med / p, 4),
+        "vmapped_per_pano_s": round(multi_med / P_PANOS, 4),
         "penalty_ratio_vmapped_vs_single": round(multi_med / single_med, 2),
         "note": "CPU-mesh proxy for the cond->select rewrite cost; the "
                 "2-D mesh also shards panos so wall-clock can be lower "
                 "even with the penalty",
-    }
-    print(json.dumps(out, indent=1))
+    }, indent=1))
 
 
 if __name__ == "__main__":

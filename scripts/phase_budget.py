@@ -12,9 +12,11 @@ work, so ``bundle_pull_s`` = wait-for-(upload+extract+pair) + the
 tunneled transfer of the shift bundle):
 
   load_project     JPEG decode + upload dispatch + projection dispatch
-  bundle_pull_s    first sync: extract+pair device compute + bundle pull
-  esc_pull_s       escalation-input bundle pull (part of escalate_s)
-  escalate_s       host strict re-decisions (incl. esc_pull_s)
+  bundle_pull_s    first sync: extract+pair device compute + the single
+                   byte-packed result/escalation bundle pull
+  esc_parse_s      host-side parse of the escalation regions
+  escalate_s       host strict re-decisions (pure host; the inputs
+                   already rode the bundle)
   plan_dispatch_s  drift + canvas plan + compose dispatch (host)
   mosaic_pull_s    bounds+mosaic device_get (compose wait + ~6 MB pull)
   crop             host crop slice

@@ -253,24 +253,30 @@ def compute_descriptors_chunked(
 
         ma_stack = combine_mag_ang(mag_stack, ang_stack)
 
-    def one(chunk_kps):
-        # capacities are audited worst-case; a typical image fills well
-        # under half its keypoint slots, and compaction packs the valid
-        # ones to the front — chunks of pure filler skip the whole
-        # window-gather + GEMM (descriptors of invalid slots are zero
-        # by masking anyway)
-        return jax.lax.cond(
-            jnp.any(chunk_kps.valid),
-            lambda kk: compute_descriptors(
-                mag_stack, ang_stack, kk, octave, cfg, half_cap, layer_base,
-                ma_stack,
-            ),
-            lambda kk: jnp.zeros((chunk, out_dim), jnp.float32),
-            chunk_kps,
+    # capacities are audited worst-case; a typical image fills well
+    # under half its keypoint slots, and compaction packs the valid ones
+    # to the front — the loop runs only over the live leading chunks
+    # (vmap-safe, unlike a per-chunk cond: see models/sift/chunking.py)
+    from vfx_image_stitching_tpu.models.sift.chunking import (
+        chunked_live_loop,
+        index_chunk,
+        live_chunk_bound,
+    )
+
+    n_chunks = k // chunk
+    reshaped = Keypoints(*[f.reshape(n_chunks, chunk) for f in kps])
+
+    def body_fn(i):
+        ck = Keypoints(*index_chunk(tuple(reshaped), i))
+        return compute_descriptors(
+            mag_stack, ang_stack, ck, octave, cfg, half_cap, layer_base,
+            ma_stack,
         )
 
-    reshaped = Keypoints(*[f.reshape(k // chunk, chunk) for f in kps])
-    out = jax.lax.map(one, reshaped)
+    out = chunked_live_loop(
+        live_chunk_bound(kps.valid, chunk), body_fn,
+        jnp.zeros((n_chunks, chunk, out_dim), jnp.float32),
+    )
     return out.reshape(k, -1)
 
 

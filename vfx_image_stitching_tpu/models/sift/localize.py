@@ -240,47 +240,50 @@ def localize_candidates_chunked(
     cfg: SiftConfig,
     chunk: int = 512,
 ) -> Localized:
-    """`localize_candidates` with all-filler chunks skipped.
+    """`localize_candidates` over the live leading chunks only.
 
     Candidate capacities are audited worst-case and `extract_candidates`
     compacts real candidates to the front, so the tail chunks of a
-    typical image are pure filler — `lax.cond` skips their cube gathers
-    and Newton iterations entirely.  Semantics are unchanged: filler
-    rows come out ``valid=False`` either way.
+    typical image are pure filler — the loop's trip count is the live
+    chunk bound (vmap-safe, unlike the earlier per-chunk cond: see
+    models/sift/chunking.py).  Semantics are unchanged: filler rows come
+    out ``valid=False`` either way.
     """
     k = layer.shape[0]
     if k <= chunk:
-        chunk = k  # single chunk — still worth the any-valid skip: tail
+        chunk = k  # single chunk — still worth the live bound: tail
         #            octaves of a typical image have zero candidates
     elif k % chunk:
         import math
 
         chunk = math.gcd(k, chunk) or k
 
-    def one(args):
-        l_c, y_c, x_c, v_c = args
+    from vfx_image_stitching_tpu.models.sift.chunking import (
+        chunked_live_loop,
+        index_chunk,
+        live_chunk_bound,
+    )
 
-        def live(a):
-            return localize_candidates(dog, a[0], a[1], a[2], a[3], octave, cfg)
+    n_chunks = k // chunk
+    reshaped = (
+        layer.reshape(n_chunks, chunk), y.reshape(n_chunks, chunk),
+        x.reshape(n_chunks, chunk), cand_valid.reshape(n_chunks, chunk),
+    )
+    zf = jnp.zeros((n_chunks, chunk), jnp.float32)
+    zi = jnp.zeros((n_chunks, chunk), jnp.int32)
+    out_zeros = Localized(
+        x=zi, y=zi, layer=zi, pt_x=zf, pt_y=zf, size=zf,
+        response=zf, octave_packed=zi,
+        valid=jnp.zeros((n_chunks, chunk), bool),
+        jx=zi, jy=zi, jl=zi,
+    )
 
-        def dead(a):
-            zf = jnp.zeros((chunk,), jnp.float32)
-            zi = jnp.zeros((chunk,), jnp.int32)
-            return Localized(
-                x=zi, y=zi, layer=zi, pt_x=zf, pt_y=zf, size=zf,
-                response=zf, octave_packed=zi,
-                valid=jnp.zeros((chunk,), bool),
-                jx=zi, jy=zi, jl=zi,
-            )
+    def body_fn(i):
+        l_c, y_c, x_c, v_c = index_chunk(reshaped, i)
+        return localize_candidates(dog, l_c, y_c, x_c, v_c, octave, cfg)
 
-        return jax.lax.cond(jnp.any(v_c), live, dead, args)
-
-    out = jax.lax.map(
-        one,
-        (
-            layer.reshape(-1, chunk), y.reshape(-1, chunk),
-            x.reshape(-1, chunk), cand_valid.reshape(-1, chunk),
-        ),
+    out = chunked_live_loop(
+        live_chunk_bound(cand_valid, chunk), body_fn, out_zeros
     )
     return Localized(*[f.reshape(k) for f in out])
 

@@ -125,17 +125,20 @@ def assign_orientations_chunked(
     chunk: int = 512,
     layer_base: int = 0,
 ) -> Keypoints:
-    """`assign_orientations` with all-filler candidate chunks skipped.
+    """`assign_orientations` over the live leading candidate chunks only.
 
     Localized capacities are audited worst-case and `compact_localized`
     packs valid candidates to the front, so tail chunks of a typical
-    image are filler — `lax.cond` skips their window histograms.  The
-    candidate-major emission order is preserved (chunks are processed in
-    order and each emits its own candidate-major block).
+    image are filler — the loop's trip count is the live chunk bound
+    (vmap-safe, unlike the earlier per-chunk cond: see
+    models/sift/chunking.py).  The candidate-major emission order is
+    preserved (chunks are processed in order and each emits its own
+    candidate-major block; skipped tail chunks emit all-zero /
+    valid=False rows, exactly like the old dead branch).
     """
     k = loc.x.shape[0]
     if k <= chunk:
-        chunk = k  # single chunk — still worth the any-valid skip: tail
+        chunk = k  # single chunk — still worth the live bound: tail
         #            octaves of a typical image have zero candidates
     elif k % chunk:
         import math
@@ -143,25 +146,30 @@ def assign_orientations_chunked(
         chunk = math.gcd(k, chunk) or k
     p_cap = cfg.capacities.max_orientations
 
-    def one(loc_c):
-        def live(l):
-            return assign_orientations(mag_stack, ang_stack, l, octave, cfg,
-                                       layer_base=layer_base)
+    from vfx_image_stitching_tpu.models.sift.chunking import (
+        chunked_live_loop,
+        index_chunk,
+        live_chunk_bound,
+    )
 
-        def dead(l):
-            m = chunk * p_cap
-            zf = jnp.zeros((m,), jnp.float32)
-            zi = jnp.zeros((m,), jnp.int32)
-            return Keypoints(
-                x=zf, y=zf, size=zf, angle=zf, response=zf, octave=zi,
-                valid=jnp.zeros((m,), bool), ix=zi, iy=zi,
-                jx=zi, jy=zi, jl=zi,
-            )
+    n_chunks = k // chunk
+    reshaped = Localized(*[f.reshape(n_chunks, chunk) for f in loc])
+    m = chunk * p_cap
+    zf = jnp.zeros((n_chunks, m), jnp.float32)
+    zi = jnp.zeros((n_chunks, m), jnp.int32)
+    out_zeros = Keypoints(
+        x=zf, y=zf, size=zf, angle=zf, response=zf, octave=zi,
+        valid=jnp.zeros((n_chunks, m), bool), ix=zi, iy=zi,
+        jx=zi, jy=zi, jl=zi,
+    )
 
-        return jax.lax.cond(jnp.any(loc_c.valid), live, dead, loc_c)
+    def body_fn(i):
+        loc_c = Localized(*index_chunk(tuple(reshaped), i))
+        return assign_orientations(mag_stack, ang_stack, loc_c, octave, cfg,
+                                   layer_base=layer_base)
 
-    out = jax.lax.map(
-        one, Localized(*[f.reshape(-1, chunk) for f in loc])
+    out = chunked_live_loop(
+        live_chunk_bound(loc.valid, chunk), body_fn, out_zeros
     )
     return Keypoints(*[f.reshape(k * p_cap) for f in out])
 

@@ -48,6 +48,37 @@ _SENTINEL_F32 = np.float32(3.1415927)
 _SENTINEL_U16 = np.uint16(0x0102)
 
 
+@jax.jit
+def _pack_bundle(f32_parts, u16_parts, u8_parts):
+    """Typed u8 result bundle, packed in ONE dispatched executable.
+
+    Un-jitted, the ~30 reshape/astype/concat/bitcast ops here would each
+    be a separate tunneled dispatch on this backend (docs/DEVNOTES.md);
+    jitting keys the trace on the pytree structure, which is fixed per
+    pipeline config.
+    """
+    f32_seq = [jnp.full((1,), _SENTINEL_F32, jnp.float32)] + [
+        p.reshape(-1).astype(jnp.float32) for p in f32_parts
+    ]
+    u16_seq = [jnp.full((1,), _SENTINEL_U16, jnp.uint16)] + [
+        p.reshape(-1).astype(jnp.uint16) for p in u16_parts
+    ]
+    segs = [
+        jax.lax.bitcast_convert_type(
+            jnp.concatenate(f32_seq), jnp.uint8
+        ).reshape(-1),
+        jax.lax.bitcast_convert_type(
+            jnp.concatenate(u16_seq), jnp.uint8
+        ).reshape(-1),
+    ]
+    if u8_parts:
+        segs.append(
+            jnp.concatenate([p.reshape(-1).astype(jnp.uint8)
+                             for p in u8_parts])
+        )
+    return jnp.concatenate(segs)
+
+
 @dataclasses.dataclass
 class StitchResult:
     panorama: np.ndarray                  # cropped final panorama (BGR u8)
@@ -277,49 +308,35 @@ def finalize_pairwise_shifts(
     # sentinels catch any device<->host byte-order mismatch loudly.
     n1 = int(shifts_d.shape[0])
     f32_parts = [
-        jnp.full((1,), _SENTINEL_F32, jnp.float32),
-        shifts_d.reshape(-1), pa_d.reshape(-1), pb_d.reshape(-1),
-        any_d.astype(jnp.float32), counts_d.astype(jnp.float32),
-        nmaterial_d.astype(jnp.float32),
-        maxinm_d.astype(jnp.float32),
+        shifts_d, pa_d, pb_d, any_d, counts_d, nmaterial_d, maxinm_d,
     ]
     stat_keys = sorted(stats) if stats is not None else []
     for key in stat_keys:
-        f32_parts.append(stats[key].reshape(-1).astype(jnp.float32))
-    u16_parts = [jnp.full((1,), _SENTINEL_U16, jnp.uint16)]
+        f32_parts.append(stats[key])
+    u16_parts = []
     u8_parts = []
     esc_present = meta is not None and mcfg.borderline_margin > 0
     if esc_present:
         # octave packs into < 2^24 so the f32 ride is exact; the cell
         # coordinates (ix/iy/jx/jy/jl) and all B indices fit u16
         n_img, kcap = xy.shape[:2]
-        f32_parts.append(xy.reshape(-1))
+        f32_parts.append(xy)
         for key in _META_F32:
-            f32_parts.append(meta[key].reshape(-1).astype(jnp.float32))
+            f32_parts.append(meta[key])
         for key in _META_U16:
-            u16_parts.append(meta[key].reshape(-1).astype(jnp.uint16))
-        u16_parts.append(bestb_d.reshape(-1).astype(jnp.uint16))
-        u16_parts.append(candidx_d.reshape(-1).astype(jnp.uint16))
+            u16_parts.append(meta[key])
+        u16_parts.append(bestb_d)
+        u16_parts.append(candidx_d)
         for arr in (valid_kp, candinm_d, matched_d, bflip_d, bswap_d,
                     material_d):
-            u8_parts.append(arr.reshape(-1).astype(jnp.uint8))
+            u8_parts.append(arr)
     _tb0 = time.time()
-    segs = [
-        jax.lax.bitcast_convert_type(
-            jnp.concatenate(f32_parts), jnp.uint8
-        ).reshape(-1),
-        jax.lax.bitcast_convert_type(
-            jnp.concatenate(u16_parts), jnp.uint8
-        ).reshape(-1),
-    ]
-    if u8_parts:
-        segs.append(jnp.concatenate(u8_parts))
-    bundle_u8 = np.asarray(jnp.concatenate(segs))
+    bundle_u8 = np.asarray(_pack_bundle(f32_parts, u16_parts, u8_parts))
     if timings_out is not None:
         timings_out["bundle_pull_s"] = time.time() - _tb0
 
-    n_f32 = sum(int(np.prod(p.shape)) for p in f32_parts)
-    n_u16 = sum(int(np.prod(p.shape)) for p in u16_parts)
+    n_f32 = 1 + sum(int(np.prod(p.shape)) for p in f32_parts)
+    n_u16 = 1 + sum(int(np.prod(p.shape)) for p in u16_parts)
     bundle = bundle_u8[: 4 * n_f32].view(np.float32)
     bundle_u16 = bundle_u8[4 * n_f32 : 4 * n_f32 + 2 * n_u16].view(np.uint16)
     bundle_u8 = bundle_u8[4 * n_f32 + 2 * n_u16 :]
