@@ -127,6 +127,17 @@ def test_load_dataset_device_grouped(tmp_path):
     assert valid.all() and shape == (24, 32, 3)
     assert len(host) == 4 and all(h is not None for h in host)
 
+    # small-first-group schedule: the serial head of a warm run is the
+    # first group's upload, so it stays tiny; the rest tiles evenly
+    batches3, *_ = load_dataset_device_grouped(
+        str(tmp_path), group_target=8, first_target=3
+    )
+    assert [b.shape[0] for b in batches3] == [3, 1]
+    batches1, *_ = load_dataset_device_grouped(
+        str(tmp_path), group_target=8, first_target=0   # disabled
+    )
+    assert [b.shape[0] for b in batches1] == [4]
+
     mono = load_dataset_device(str(tmp_path))[0]
     np.testing.assert_array_equal(
         np.concatenate([np.asarray(b) for b in batches]), np.asarray(mono)

@@ -207,15 +207,21 @@ def _decode_upload(resolved: List[str], with_host: bool):
 
 
 def load_dataset_device_grouped(
-    folder: str, pano_file: Optional[str] = None, group_target: int = 6
+    folder: str, pano_file: Optional[str] = None, group_target: int = 8,
+    first_target: int = 2,
 ):
     """Grouped loader for the pipelined extract: per-group device stacks.
 
     Each group's stack only waits for its own uploads, so the feature
     extractor can start on group 1 while later groups are still in
     flight — on slow host-device links this hides most of the upload
-    behind compute.  Group size is the largest divisor of N that is
-    <= ``group_target`` (every group shares one executable shape).
+    behind compute.  The FIRST group is kept tiny (``first_target``):
+    the serial head of a warm run is exactly the first group's upload,
+    so a 2-image head starts the extractor ~3x sooner than a 6-image
+    head; the remaining images tile into equal groups of at most
+    ``group_target`` (the largest divisor of N-first, so the tail
+    groups share one executable shape and the whole run compiles at
+    most two extractor shapes).
 
     Returns ``(batches, valid, focals, shape, host_imgs)``.
     """
@@ -232,9 +238,17 @@ def load_dataset_device_grouped(
 
     device_imgs, host_imgs, valid, shape = _decode_upload(resolved, True)
     n = len(device_imgs)
-    g = pick_group_size(n, group_target)
+    if first_target and n > first_target:
+        rest = n - first_target
+        g = pick_group_size(rest, group_target)
+        starts = [0] + list(range(first_target, n, g))
+        sizes = [first_target] + [g] * (rest // g)
+    else:
+        g = pick_group_size(n, group_target)
+        starts = list(range(0, n, g))
+        sizes = [g] * (n // g)
     batches = [
-        jnp.stack(device_imgs[a : a + g]) for a in range(0, n, g)
+        jnp.stack(device_imgs[a : a + s]) for a, s in zip(starts, sizes)
     ]
     return batches, valid, focals, shape, host_imgs
 
