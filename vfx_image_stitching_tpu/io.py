@@ -207,21 +207,21 @@ def _decode_upload(resolved: List[str], with_host: bool):
 
 
 def load_dataset_device_grouped(
-    folder: str, pano_file: Optional[str] = None, group_target: int = 8,
-    first_target: int = 2,
+    folder: str, pano_file: Optional[str] = None, group_target: int = 6,
+    first_target: int = 0,
 ):
     """Grouped loader for the pipelined extract: per-group device stacks.
 
     Each group's stack only waits for its own uploads, so the feature
     extractor can start on group 1 while later groups are still in
     flight — on slow host-device links this hides most of the upload
-    behind compute.  The FIRST group is kept tiny (``first_target``):
-    the serial head of a warm run is exactly the first group's upload,
-    so a 2-image head starts the extractor ~3x sooner than a 6-image
-    head; the remaining images tile into equal groups of at most
-    ``group_target`` (the largest divisor of N-first, so the tail
-    groups share one executable shape and the whole run compiles at
-    most two extractor shapes).
+    behind compute.  ``first_target > 0`` additionally shrinks the
+    first group (e.g. 18 -> [2, 8, 8]) so the extractor's first input
+    is ready sooner; measured on-chip (r3 A/B, one process,
+    interleaved) it does NOT help — uploads are issued concurrently
+    during decode, so the first stack's inputs arrive almost as fast
+    either way and the extra group pays dispatch overhead (medians
+    1.32 s uniform-6 vs 1.64 s [2,8,8]) — hence default 0.
 
     Returns ``(batches, valid, focals, shape, host_imgs)``.
     """

@@ -595,8 +595,8 @@ def _stitch_inner(
     t0 = time.time()
     from vfx_image_stitching_tpu.io import load_dataset_device_grouped
 
-    group_target = int(os.environ.get("VFX_LOAD_GROUP", "8"))
-    first_target = int(os.environ.get("VFX_LOAD_FIRST", "2"))
+    group_target = int(os.environ.get("VFX_LOAD_GROUP", "6"))
+    first_target = int(os.environ.get("VFX_LOAD_FIRST", "0"))
     batches, valid, focals, (h, w, _c), host_imgs = (
         load_dataset_device_grouped(folder, pano_file, group_target,
                                     first_target)
