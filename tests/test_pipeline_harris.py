@@ -150,3 +150,21 @@ def test_stitch_many_matches_stitch_panorama(tmp_path, reference_dir):
         single = stitch_panorama(f, backend="harris", crop_margin=2)
         assert multi[name].shifts == single.shifts
         np.testing.assert_array_equal(multi[name].panorama, single.panorama)
+
+
+@requires_reference
+@requires_cv2
+def test_gray_first_path_equals_default(monkeypatch):
+    """VFX_GRAY_FIRST=1 (gray-critical-path loader + compose-time RGB
+    projection) must be pixel-identical to the default RGB path — the
+    fixed-point BGR2GRAY commutes exactly with the cylindrical gather."""
+    from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama
+
+    folder = os.path.join(REFERENCE_DIR, "out")
+    base = stitch_panorama(folder, backend="harris", crop_margin=30)
+    monkeypatch.setenv("VFX_GRAY_FIRST", "1")
+    gray = stitch_panorama(folder, backend="harris", crop_margin=30)
+    assert gray.shifts == base.shifts
+    assert gray.pairs == base.pairs
+    np.testing.assert_array_equal(gray.panorama, base.panorama)
+    np.testing.assert_array_equal(gray.mosaic, base.mosaic)

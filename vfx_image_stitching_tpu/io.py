@@ -253,6 +253,84 @@ def load_dataset_device_grouped(
     return batches, valid, focals, shape, host_imgs
 
 
+def load_dataset_device_split(
+    folder: str, pano_file: Optional[str] = None, group_target: int = 6,
+):
+    """Gray-first grouped loader: only gray rides the critical path.
+
+    Feature extraction consumes GRAY pixels (the fixed-point BGR2GRAY
+    commutes exactly with the cylindrical index gather), while the RGB
+    cylindrical batch is needed only by the final compose — ~0.5 s of
+    extract/match/escalate later.  This loader therefore converts to
+    gray on host (ops.color.bgr_to_gray_u8_np, bit-identical to the
+    device op) and uploads the 1-byte/px gray images FIRST; the
+    3-byte/px RGB uploads are submitted after every gray, so on a slow
+    host-device link they queue behind the critical path and finish
+    while the extractor runs.  RGB images are returned as an UNSTACKED
+    device list — the caller stacks/projects them lazily at compose
+    time so no device op ahead of the first sync waits on them.
+
+    Returns ``(gray_batches, rgb_imgs, valid, focals, shape, host_imgs)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vfx_image_stitching_tpu.ops.color import bgr_to_gray_u8_np
+
+    if not folder.endswith(("/", "\\")):
+        folder = folder + "/"
+    if pano_file is None:
+        pano_file = os.path.join(folder, "pano.txt")
+    img_paths, focals = read_pano_data(pano_file)
+    if not img_paths:
+        raise ValueError("no valid entries in pano.txt")
+    resolved = [resolve_image_path(p, folder) for p in img_paths]
+
+    import concurrent.futures as cf
+
+    n = len(resolved)
+    gray_imgs: List[Optional[np.ndarray]] = [None] * n
+    host_imgs: List[Optional[np.ndarray]] = [None] * n
+    shapes = [None] * n
+    with cf.ThreadPoolExecutor(max_workers=min(8, n)) as pool:
+        futs = {pool.submit(load_bgr, p): i for i, p in enumerate(resolved)}
+        for fut in cf.as_completed(futs):
+            i = futs[fut]
+            img = fut.result()
+            if img is not None:
+                shapes[i] = img.shape
+                gray_imgs[i] = bgr_to_gray_u8_np(img)
+                host_imgs[i] = img
+    shape_set = {s for s in shapes if s is not None}
+    if len(shape_set) > 1:
+        raise ValueError(f"dataset images disagree on shape: {shape_set}")
+    if not shape_set:
+        raise ValueError("no readable images in dataset")
+    shape = next(iter(shape_set))
+    valid = np.array([s is not None for s in shapes])
+    for i in range(n):
+        if gray_imgs[i] is None:
+            gray_imgs[i] = np.zeros(shape[:2], np.uint8)
+    # ONE gray upload for the whole dataset (per-transfer overhead on
+    # the tunneled link outweighs per-image overlap for 0.2 MB grays;
+    # measured r3), sliced per group on device; RGB uploads follow
+    # per image and are consumed only at compose time
+    gray_stack = jax.device_put(np.stack(gray_imgs))
+    rgb_imgs: List[Optional[object]] = [None] * n
+    zero_rgb = None
+    for i in range(n):
+        if host_imgs[i] is not None:
+            rgb_imgs[i] = jax.device_put(host_imgs[i])
+        else:
+            if zero_rgb is None:
+                zero_rgb = jnp.zeros(shape, jnp.uint8)
+            rgb_imgs[i] = zero_rgb
+
+    g = pick_group_size(n, group_target)
+    gray_batches = [gray_stack[a : a + g] for a in range(0, n, g)]
+    return gray_batches, rgb_imgs, valid, focals, shape, host_imgs
+
+
 def pick_group_size(n: int, target: int = 6) -> int:
     """Largest divisor of ``n`` that is <= target (1 = no grouping).
 

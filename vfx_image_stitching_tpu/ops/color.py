@@ -10,6 +10,7 @@ installed cv2 — see tests/test_ops.py).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 _B2Y = 3735
@@ -19,7 +20,15 @@ _SHIFT = 15
 
 
 def bgr_to_gray_u8(img_bgr: jnp.ndarray) -> jnp.ndarray:
-    """BGR uint8 (..., 3) -> gray uint8 (...), cv2.COLOR_BGR2GRAY parity."""
+    """BGR uint8 (..., 3) -> gray uint8 (...), cv2.COLOR_BGR2GRAY parity.
+
+    An already-gray input (no trailing 3-channel axis) passes through —
+    the gray-first load path (io.load_dataset_device_split) converts on
+    host with the identical fixed-point formula, and the per-pixel
+    conversion commutes exactly with the cylindrical index gather.
+    """
+    if img_bgr.ndim < 3 or img_bgr.shape[-1] != 3:
+        return img_bgr.astype(jnp.uint8)
     b = img_bgr[..., 0].astype(jnp.int32)
     g = img_bgr[..., 1].astype(jnp.int32)
     r = img_bgr[..., 2].astype(jnp.int32)
@@ -30,3 +39,12 @@ def bgr_to_gray_u8(img_bgr: jnp.ndarray) -> jnp.ndarray:
 def bgr_to_gray_f32(img_bgr: jnp.ndarray) -> jnp.ndarray:
     """cvtColor-then-astype(float32), as the reference feature stacks do."""
     return bgr_to_gray_u8(img_bgr).astype(jnp.float32)
+
+
+def bgr_to_gray_u8_np(img_bgr: np.ndarray) -> np.ndarray:
+    """Host (NumPy) twin of :func:`bgr_to_gray_u8` — same fixed point."""
+    b = img_bgr[..., 0].astype(np.int32)
+    g = img_bgr[..., 1].astype(np.int32)
+    r = img_bgr[..., 2].astype(np.int32)
+    y = (b * _B2Y + g * _G2Y + r * _R2Y + (1 << (_SHIFT - 1))) >> _SHIFT
+    return y.astype(np.uint8)

@@ -521,6 +521,7 @@ def finalize_to_panorama(
     host_images: Optional[Sequence] = None,
     focals: Optional[Sequence[float]] = None,
     return_steps: bool = False,
+    compose_cyl=None,
 ) -> _Finalized:
     """Shared pipeline tail: finalize -> drift -> plan -> compose -> crop.
 
@@ -528,6 +529,13 @@ def finalize_to_panorama(
     and the mesh-sharded throughput path, so escalation/planning/compose
     semantics (and transfer bundling — bounds + mosaic in one
     device_get) can never drift between them.
+
+    ``compose_cyl`` (a nullary callable returning the RGB cylindrical
+    batch) supports the gray-first load path: the compose source is
+    built only HERE, after the first sync, so no device op ahead of the
+    result-bundle pull ever waits on the RGB uploads; ``cyl`` may then
+    be the gray batch (used for counts and as the escalation fallback —
+    the strict path grays it anyway).
     """
     detail: dict = {}
     t0 = time.time()
@@ -539,7 +547,8 @@ def finalize_to_panorama(
     n = cyl.shape[0]
     corrected = correct_drift(shifts, n_images=n)
     plan = plan_compose(h, w, n, list(valid), corrected, pairs)
-    out = compose_mosaic(cyl, plan, return_steps=return_steps)
+    src = compose_cyl() if compose_cyl is not None else cyl
+    out = compose_mosaic(src, plan, return_steps=return_steps)
     mosaic_d, steps = out if return_steps else (out, None)
     from vfx_image_stitching_tpu.compose.crop import (
         mosaic_with_bounds,
@@ -593,21 +602,31 @@ def _stitch_inner(
 ) -> StitchResult:
     timings = {}
     t0 = time.time()
-    from vfx_image_stitching_tpu.io import load_dataset_device_grouped
-
     group_target = int(os.environ.get("VFX_LOAD_GROUP", "6"))
-    first_target = int(os.environ.get("VFX_LOAD_FIRST", "0"))
-    batches, valid, focals, (h, w, _c), host_imgs = (
-        load_dataset_device_grouped(folder, pano_file, group_target,
-                                    first_target)
-    )
-    n = int(sum(b.shape[0] for b in batches))
+    gray_first = os.environ.get("VFX_GRAY_FIRST", "0") == "1"
+    if gray_first:
+        from vfx_image_stitching_tpu.io import load_dataset_device_split
 
-    # pipelined load->extract: project + extract each group as soon as its
-    # stack is ready; group 1's features compute while later groups upload
+        gray_batches, rgb_imgs, valid, focals, (h, w, _c), host_imgs = (
+            load_dataset_device_split(folder, pano_file, group_target)
+        )
+    else:  # RGB-everything fallback (VFX_GRAY_FIRST=0)
+        from vfx_image_stitching_tpu.io import load_dataset_device_grouped
+
+        gray_batches, valid, focals, (h, w, _c), host_imgs = (
+            load_dataset_device_grouped(folder, pano_file, group_target)
+        )
+        rgb_imgs = None
+    n = int(sum(b.shape[0] for b in gray_batches))
+    sizes = [int(b.shape[0]) for b in gray_batches]
+
+    # pipelined load->extract on the GRAY batches (1 byte/px on the
+    # critical path; the 3-byte/px RGB uploads queue behind and are
+    # consumed only at compose time): project + extract each group as
+    # soon as its stack is ready
     cyl_groups, feats_groups = [], []
     idx = 0
-    for b in batches:
+    for b in gray_batches:
         gsize = int(b.shape[0])
         cyl_g = cylindrical_project_batch(
             b, tuple(focals[idx : idx + gsize])
@@ -629,10 +648,26 @@ def _stitch_inner(
 
     xy, descs, valid_kp, meta, stats = _concat_feats(feats_groups)
     pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
+
+    def compose_cyl():
+        # per-group projection reuses the device-resident winner stacks
+        # the gray projections cached (same (h, w, focal-slice) keys)
+        out, a = [], 0
+        for gsize in sizes:
+            rgb_g = jnp.stack(rgb_imgs[a : a + gsize])
+            out.append(cylindrical_project_batch(
+                rgb_g, tuple(focals[a : a + gsize])
+            ))
+            a += gsize
+        return jnp.concatenate(out) if len(out) > 1 else out[0]
+
+    if not gray_first:
+        compose_cyl = None  # `cyl` is already the RGB batch
+
     fin = finalize_to_panorama(
         cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
         h, w, margin, host_images=host_imgs, focals=focals,
-        return_steps=return_steps,
+        return_steps=return_steps, compose_cyl=compose_cyl,
     )
     t2 = t1 + fin.finalize_s
     timings["features_ransac"] = t2 - t1
