@@ -2,12 +2,15 @@
 """Measure the vmapped multi-pano worst-case-capacity penalty (VERDICT
 r2 item 7).
 
-``_multi_pano_full_step`` vmaps the per-pano step, which rewrites the
-extractor's chunk-skip ``lax.cond``s into selects — both branches
-execute, so every pano pays worst-case capacity work
-(parallel/mesh.py documents this; nothing measured it).  This script
-times, on the virtual 8-device CPU mesh with the dryrun-grade small
-SIFT config:
+``_multi_pano_full_step`` vmaps the per-pano step.  Historically the
+extractor skipped all-filler capacity chunks with per-chunk
+``lax.cond``s, which vmap rewrites into selects (both branches
+execute) — measured 7.2x per pano here.  The live-bounded
+``fori_loop`` restructure (models/sift/chunking.py) survives vmap as
+a while with batch-max trip count, cutting it to 4.0x; the residual
+penalty is the per-octave gradient-fields cond + extrema work.  This
+script times, on the virtual 8-device CPU mesh with the dryrun-grade
+small SIFT config:
 
   a) the single-pano full step, per pano (sequential loop over P panos);
   b) the vmapped multi-pano step over the same (P, N, H, W, 3) batch on

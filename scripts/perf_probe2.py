@@ -55,6 +55,8 @@ def main() -> None:
     # sub-dissect the finalize internals on the last rep's arrays
     from vfx_image_stitching_tpu.models.sift.strict import escalate_pair
 
+    # NOTE: escalate_pair consumes the BOOLEAN cand_inm mask (not the
+    # f32 candidate distances) since the bundle byte-packing change
     (shifts_d, pa_d, pb_d, any_d, counts_d,
      bestb_d, candidx_d, canddist_d, candinm_d, matched_d, bflip_d,
      bswap_d, material_d, nmaterial_d, maxinm_d) = pair_out
@@ -87,12 +89,12 @@ def main() -> None:
         xa = np.asarray(xy[i]); xb = np.asarray(xy[i + 1])
         va = np.asarray(valid_kp[i])
         bb = np.asarray(bestb_d[i]); mm = np.asarray(matched_d[i])
-        ci = np.asarray(candidx_d[i]); cd = np.asarray(canddist_d[i])
+        ci = np.asarray(candidx_d[i]); cm = np.asarray(candinm_d[i])
         bf = np.asarray(bflip_d[i]); bs = np.asarray(bswap_d[i])
         mt = np.asarray(material_d[i])
         t1 = time.time()
         esc = escalate_pair(
-            ca, cb, xa, meta_a, xb, meta_b, va, bb, ci, cd, mm, bf, bs, mt,
+            ca, cb, xa, meta_a, xb, meta_b, va, bb, ci, cm, mm, bf, bs, mt,
             cfg=cfg.sift, desc_thresh=25000.0, ransac_thresh=3.0,
         )
         t2 = time.time()
@@ -105,7 +107,7 @@ def main() -> None:
         # second call: caches warm
         t0 = time.time()
         escalate_pair(
-            ca, cb, xa, meta_a, xb, meta_b, va, bb, ci, cd, mm, bf, bs, mt,
+            ca, cb, xa, meta_a, xb, meta_b, va, bb, ci, cm, mm, bf, bs, mt,
             cfg=cfg.sift, desc_thresh=25000.0, ransac_thresh=3.0,
         )
         print(json.dumps({

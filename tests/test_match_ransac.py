@@ -125,7 +125,7 @@ def test_inmargin_guard_warns_on_five_way_near_tie():
         jnp.asarray(xy), jnp.asarray(desc_b), jnp.asarray(valid),
         desc_thresh=25000.0, ransac_thresh=3.0, refine=1, margin=margin,
     )
-    assert int(out[13]) >= 5  # max_inmargin sees all five candidates
+    assert int(out[14]) >= 5  # max_inmargin (15th field) sees all five
 
     pair_out = tuple(o[None] for o in out)  # add the (N-1) pair axis
     cyl = jnp.zeros((2, 8, 8, 3), jnp.uint8)

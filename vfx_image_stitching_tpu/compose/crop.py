@@ -48,13 +48,18 @@ def mosaic_with_bounds(img: jnp.ndarray, black_threshold: jnp.ndarray):
     < 2^16, little-endian pairs) so the whole result is one array and
     one transfer; :func:`unpack_mosaic_bounds` reverses it on host.
     """
+    h, w, c = img.shape
+    if max(h, w) >= 1 << 16:
+        raise ValueError(
+            f"mosaic {img.shape} exceeds the 16-bit bounds packing; "
+            "widen the encoding in mosaic_with_bounds"
+        )
     y0, y1, x0, x1, anyc = _content_bounds(img, black_threshold)
     vals = jnp.stack(
         [y0, y1, x0, x1, anyc.astype(jnp.int32)]
     ).astype(jnp.int32)
     lo = (vals & 0xFF).astype(jnp.uint8)
     hi = ((vals >> 8) & 0xFF).astype(jnp.uint8)
-    h, w, c = img.shape
     extra = jnp.zeros((w * c,), jnp.uint8)
     extra = extra.at[0:10:2].set(lo).at[1:10:2].set(hi)
     return jnp.concatenate([img.reshape(-1), extra]).reshape(h + 1, w, c)

@@ -168,6 +168,21 @@ def load_dataset_device(
     return batch, valid, focals, shape
 
 
+def _validate_decoded(shapes: List[Optional[tuple]]):
+    """Shared decode-validation tail: one shape, >= 1 readable image.
+
+    Returns ``(shape, valid_mask)``; both loaders (_decode_upload and
+    load_dataset_device_split) use this so the mixed-shape / all-
+    unreadable policy can never drift between them.
+    """
+    shape_set = {s for s in shapes if s is not None}
+    if len(shape_set) > 1:
+        raise ValueError(f"dataset images disagree on shape: {shape_set}")
+    if not shape_set:
+        raise ValueError("no readable images in dataset")
+    return next(iter(shape_set)), np.array([s is not None for s in shapes])
+
+
 def _decode_upload(resolved: List[str], with_host: bool):
     """Threaded JPEG decode with per-image async device_put."""
     import concurrent.futures as cf
@@ -190,13 +205,7 @@ def _decode_upload(resolved: List[str], with_host: bool):
                 if with_host:
                     host_imgs[i] = img
 
-    shape_set = {s for s in shapes if s is not None}
-    if len(shape_set) > 1:
-        raise ValueError(f"dataset images disagree on shape: {shape_set}")
-    if not shape_set:
-        raise ValueError("no readable images in dataset")
-    shape = next(iter(shape_set))
-    valid = np.array([s is not None for s in shapes])
+    shape, valid = _validate_decoded(shapes)
     zero = None
     for i in range(n):
         if device_imgs[i] is None:
@@ -301,13 +310,7 @@ def load_dataset_device_split(
                 shapes[i] = img.shape
                 gray_imgs[i] = bgr_to_gray_u8_np(img)
                 host_imgs[i] = img
-    shape_set = {s for s in shapes if s is not None}
-    if len(shape_set) > 1:
-        raise ValueError(f"dataset images disagree on shape: {shape_set}")
-    if not shape_set:
-        raise ValueError("no readable images in dataset")
-    shape = next(iter(shape_set))
-    valid = np.array([s is not None for s in shapes])
+    shape, valid = _validate_decoded(shapes)
     for i in range(n):
         if gray_imgs[i] is None:
             gray_imgs[i] = np.zeros(shape[:2], np.uint8)

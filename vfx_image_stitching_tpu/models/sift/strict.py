@@ -613,16 +613,17 @@ def escalate_pair(
     cfg: SiftConfig = SiftConfig(),
     desc_thresh: float = 25000.0,
     ransac_thresh: float = 3.0,
-    margin: float = DEFAULT_BORDERLINE_MARGIN,
 ) -> Tuple[Tuple[float, float], Tuple[tuple, tuple], bool]:
     """Re-decide one image pair's shift with strict host arithmetic.
 
     Per material row the strict pass re-decides BOTH knife-edge classes:
     a ``border_swap`` row's argmin is re-ranked over every device
     candidate flagged in-margin (``cand_idx`` rows of the top-4 where
-    ``cand_inm`` — the device-computed "within ``margin`` of the row's
-    best" mask) — only those can strictly win, since a single distance
-    is off by at most margin/2.
+    ``cand_inm`` — the device-computed "within the borderline margin of
+    the row's best" mask; the margin itself is applied ON DEVICE when
+    that mask is built, so widening it requires re-running the device
+    step) — only those can strictly win, since a single distance is off
+    by at most margin/2.
     The strict winner follows the reference's strict-< scan (first
     minimal B index, image_stitching_sift.py:62-79); the threshold test
     then runs on the strict winner distance.

@@ -135,12 +135,13 @@ def _full_shift_step(cyl: jnp.ndarray, cfg: StitchConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _multi_pano_full_step(batch: jnp.ndarray, cfg: StitchConfig):
-    # Perf note: vmap rewrites the chunk-skip lax.conds of the extractor
-    # into selects (both branches execute), so the per-pano path pays the
-    # worst-case capacity work.  That is acceptable here — the multi-pano
-    # config exists for multi-chip breadth, where the extra per-device
-    # work is hidden by the pano/image parallelism — but do not use this
-    # step expecting the single-device chunk-skip savings.
+    # Perf note: the extractor's capacity skipping is a live-bounded
+    # fori_loop (models/sift/chunking.py), which survives this vmap as a
+    # while whose trip count is the batch MAX live-chunk count — panos
+    # pay max(live), not worst-case capacity.  The residual vmap cost is
+    # the per-octave gradient-fields lax.cond (rewritten into a select)
+    # plus extrema work; measured 4.0x per pano on the 8-dev CPU mesh
+    # (was 7.2x with cond-based skipping — scripts/mesh_cost.py).
     return jax.vmap(lambda b: _full_shift_step(b, cfg))(batch)
 
 

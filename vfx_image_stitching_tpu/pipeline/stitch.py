@@ -463,7 +463,6 @@ def finalize_pairwise_shifts(
                 cfg=cfg.sift,
                 desc_thresh=mcfg.desc_thresh,
                 ransac_thresh=mcfg.ransac_thresh,
-                margin=mcfg.borderline_margin,
             )
             if esc is None:
                 continue  # strict pass confirmed the device result
