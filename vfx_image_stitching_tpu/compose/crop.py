@@ -9,6 +9,8 @@ returns the input unchanged.  Mask reductions run on device; the final
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -63,6 +65,41 @@ def mosaic_with_bounds(img: jnp.ndarray, black_threshold: jnp.ndarray):
     extra = jnp.zeros((w * c,), jnp.uint8)
     extra = extra.at[0:10:2].set(lo).at[1:10:2].set(hi)
     return jnp.concatenate([img.reshape(-1), extra]).reshape(h + 1, w, c)
+
+
+@functools.partial(jax.jit, static_argnames=("n_strips",))
+def mosaic_with_bounds_strips(
+    img: jnp.ndarray, black_threshold: jnp.ndarray, n_strips: int
+):
+    """:func:`mosaic_with_bounds` split into ``n_strips`` row blocks.
+
+    The tunneled harness (docs/DEVNOTES.md) moves a single device_get
+    stream at well under line rate; pulling the strips CONCURRENTLY
+    from host threads overlaps the per-transfer round trips and can
+    multiplex the link.  The split happens inside this one executable
+    (host-side slicing of a device array would compile one slice
+    program per strip shape).  Reassemble with ``np.concatenate`` after
+    :func:`pull_strips`; then :func:`unpack_mosaic_bounds` as usual.
+    """
+    buf = mosaic_with_bounds(img, black_threshold)
+    rows = buf.shape[0]
+    per = -(-rows // n_strips)  # ceil
+    return tuple(
+        buf[i * per : min((i + 1) * per, rows)]
+        for i in range(n_strips)
+        if i * per < rows
+    )
+
+
+def pull_strips(strips) -> np.ndarray:
+    """Concurrent device_get of row strips; returns the stacked buffer."""
+    if len(strips) == 1:
+        return np.asarray(jax.device_get(strips[0]))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(strips)) as ex:
+        parts = list(ex.map(jax.device_get, strips))
+    return np.concatenate(parts, axis=0)
 
 
 def unpack_mosaic_bounds(buf: np.ndarray):

@@ -47,16 +47,17 @@ _META_U16 = ("ix", "iy", "jx", "jy", "jl")  # cell coords < 2^16
 _SENTINEL_F32 = np.float32(3.1415927)
 _SENTINEL_U16 = np.uint16(0x0102)
 
+# escalation-block compaction capacities (_pack_bundle_esc): measured
+# maxima over the four reference datasets are 744 needed meta rows and
+# 180 border-swap rows TOTAL (scripts in docs/DEVNOTES.md round 3), so
+# these defaults carry ~5x/11x headroom; overflow falls back to a full
+# pull with a warning.  Override via VFX_ESC_CAP_META/VFX_ESC_CAP_CAND.
+_ESC_CAP_META = 4096
+_ESC_CAP_CAND = 2048
 
-@jax.jit
-def _pack_bundle(f32_parts, u16_parts, u8_parts):
-    """Typed u8 result bundle, packed in ONE dispatched executable.
 
-    Un-jitted, the ~30 reshape/astype/concat/bitcast ops here would each
-    be a separate tunneled dispatch on this backend (docs/DEVNOTES.md);
-    jitting keys the trace on the pytree structure, which is fixed per
-    pipeline config.
-    """
+def _assemble_bundle(f32_parts, u16_parts, u8_parts):
+    """Concat typed parts into one u8 buffer (trace-time helper)."""
     f32_seq = [jnp.full((1,), _SENTINEL_F32, jnp.float32)] + [
         p.reshape(-1).astype(jnp.float32) for p in f32_parts
     ]
@@ -77,6 +78,132 @@ def _pack_bundle(f32_parts, u16_parts, u8_parts):
                              for p in u8_parts])
         )
     return jnp.concatenate(segs)
+
+
+@jax.jit
+def _pack_bundle(f32_parts, u16_parts, u8_parts):
+    """Typed u8 result bundle, packed in ONE dispatched executable.
+
+    Un-jitted, the ~30 reshape/astype/concat/bitcast ops here would each
+    be a separate tunneled dispatch on this backend (docs/DEVNOTES.md);
+    jitting keys the trace on the pytree structure, which is fixed per
+    pipeline config.
+    """
+    return _assemble_bundle(f32_parts, u16_parts, u8_parts)
+
+
+def _pack_bits(flat_bool: jnp.ndarray) -> jnp.ndarray:
+    """(M,) bool -> (ceil(M/8),) u8, little-endian bit order."""
+    m = flat_bool.shape[0]
+    pad = (-m) % 8
+    if pad:
+        flat_bool = jnp.concatenate(
+            [flat_bool, jnp.zeros((pad,), bool)]
+        )
+    b = flat_bool.reshape(-1, 8).astype(jnp.uint8)
+    w = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, :]
+    return jnp.sum(b * w, axis=1, dtype=jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_meta", "cap_cand"))
+def _pack_bundle_esc(
+    head_f32, xy, meta, valid_kp, bestb, candidx, candinm,
+    matched, bflip, bswap, material, cap_meta: int, cap_cand: int,
+):
+    """Result bundle with the escalation block COMPACTED on device.
+
+    The strict host path (models/sift/strict.py) only ever reads
+
+      * keypoint ``meta`` at borderline rows of the pair's A image and
+        at their best/in-margin candidate indices in the B image
+        (``material ⊆ borderline`` by construction — the device vote
+        analysis only marks borderline rows, estimate/ransac.py), and
+      * ``cand_idx``/``cand_inm`` at border-swap rows (both the strict
+        re-rank candidate list and the host materiality replay's swap
+        scenarios restrict to them),
+
+    so shipping those arrays at FULL (n_img/n_pair, kcap) shape moves
+    ~2 MB of bytes that are never read.  This packer scatters the
+    needed meta rows (flat image*kcap indices, f32-exact < 2^24) into a
+    ``cap_meta``-row block and the border-swap candidate rows into a
+    ``cap_cand``-row block, and bit-packs the five boolean masks.  The
+    full-shape arrays the host genuinely consumes everywhere (``xy``
+    for the f64 re-vote moves, ``bestb``, the masks) still ride whole.
+    Overflow (more needed rows than capacity) is detected on host from
+    the shipped counts; the caller falls back to pulling the original
+    device arrays directly (correct, just slower) and warns.
+
+    Measured layout on parrington (18 images, kcap 3072): 3.2 MB full
+    -> ~0.75 MB compact on the first sync of every warm run.
+    """
+    n_img, kcap = valid_kp.shape
+    n1 = matched.shape[0]
+    borderline = bflip | bswap
+
+    # B-side needed rows: best_b of borderline rows + in-margin
+    # candidates of border-swap rows (scatter; kcap col sentinel drops)
+    pair_rows = jnp.arange(n1, dtype=jnp.int32)[:, None]
+    bcols = jnp.where(borderline, bestb.astype(jnp.int32), kcap)
+    b_mask = jnp.zeros((n1, kcap), bool)
+    b_mask = b_mask.at[pair_rows, bcols].max(True, mode="drop")
+    ccols = jnp.where(
+        bswap[..., None] & candinm, candidx.astype(jnp.int32), kcap
+    )
+    b_mask = b_mask.at[
+        jnp.broadcast_to(pair_rows[..., None], ccols.shape), ccols
+    ].max(True, mode="drop")
+
+    needed = jnp.zeros((n_img, kcap), bool)
+    needed = needed.at[:n1].max(borderline)   # pair i's A image is i
+    needed = needed.at[1:].max(b_mask)        # pair i's B image is i+1
+
+    flat_needed = needed.reshape(-1)
+    tgt = jnp.where(
+        flat_needed, jnp.cumsum(flat_needed) - 1, cap_meta
+    )
+    cnt_meta = jnp.sum(flat_needed)
+    iota = jnp.arange(flat_needed.shape[0], dtype=jnp.float32)
+    meta_idx = jnp.zeros((cap_meta,), jnp.float32).at[tgt].set(
+        iota, mode="drop"
+    )
+
+    def compact_meta(name, dtype):
+        return jnp.zeros((cap_meta,), dtype).at[tgt].set(
+            meta[name].reshape(-1).astype(dtype), mode="drop"
+        )
+
+    meta_f32_c = [compact_meta(k, jnp.float32) for k in _META_F32]
+    meta_u16_c = [compact_meta(k, jnp.uint16) for k in _META_U16]
+
+    flat_sw = bswap.reshape(-1)
+    tgt2 = jnp.where(flat_sw, jnp.cumsum(flat_sw) - 1, cap_cand)
+    cnt_cand = jnp.sum(flat_sw)
+    iota2 = jnp.arange(flat_sw.shape[0], dtype=jnp.float32)
+    cand_rowidx = jnp.zeros((cap_cand,), jnp.float32).at[tgt2].set(
+        iota2, mode="drop"
+    )
+    n_cand = candidx.shape[-1]
+    candidx_c = jnp.zeros((cap_cand, n_cand), jnp.uint16).at[tgt2].set(
+        candidx.reshape(-1, n_cand).astype(jnp.uint16), mode="drop"
+    )
+    candinm_c = jnp.zeros((cap_cand, n_cand), jnp.uint8).at[tgt2].set(
+        candinm.reshape(-1, n_cand).astype(jnp.uint8), mode="drop"
+    )
+
+    bits = _pack_bits(
+        jnp.concatenate(
+            [valid_kp.reshape(-1), matched.reshape(-1),
+             bflip.reshape(-1), bswap.reshape(-1), material.reshape(-1)]
+        )
+    )
+
+    f32_parts = list(head_f32) + [
+        jnp.stack([cnt_meta, cnt_cand]).astype(jnp.float32),
+        xy, meta_idx,
+    ] + meta_f32_c + [cand_rowidx]
+    u16_parts = [bestb] + meta_u16_c + [candidx_c]
+    u8_parts = [bits, candinm_c]
+    return _assemble_bundle(f32_parts, u16_parts, u8_parts)
 
 
 @dataclasses.dataclass
@@ -307,36 +434,54 @@ def finalize_pairwise_shifts(
     # escalation block ~40% vs an all-f32 ride; leading f32/u16
     # sentinels catch any device<->host byte-order mismatch loudly.
     n1 = int(shifts_d.shape[0])
-    f32_parts = [
+    head_f32 = [
         shifts_d, pa_d, pb_d, any_d, counts_d, nmaterial_d, maxinm_d,
     ]
     stat_keys = sorted(stats) if stats is not None else []
     for key in stat_keys:
-        f32_parts.append(stats[key])
-    u16_parts = []
-    u8_parts = []
+        head_f32.append(stats[key])
     esc_present = meta is not None and mcfg.borderline_margin > 0
+    compact = esc_present and os.environ.get("VFX_ESC_COMPACT", "1") == "1"
     if esc_present:
-        # octave packs into < 2^24 so the f32 ride is exact; the cell
-        # coordinates (ix/iy/jx/jy/jl) and all B indices fit u16
         n_img, kcap = xy.shape[:2]
-        f32_parts.append(xy)
-        for key in _META_F32:
-            f32_parts.append(meta[key])
-        for key in _META_U16:
-            u16_parts.append(meta[key])
-        u16_parts.append(bestb_d)
-        u16_parts.append(candidx_d)
-        for arr in (valid_kp, candinm_d, matched_d, bflip_d, bswap_d,
-                    material_d):
-            u8_parts.append(arr)
+        n_cand = int(candidx_d.shape[-1])
+    f32_parts, u16_parts, u8_parts = list(head_f32), [], []
     _tb0 = time.time()
-    bundle_u8 = np.asarray(_pack_bundle(f32_parts, u16_parts, u8_parts))
+    if compact:
+        cap_meta = int(os.environ.get("VFX_ESC_CAP_META", _ESC_CAP_META))
+        cap_cand = int(os.environ.get("VFX_ESC_CAP_CAND", _ESC_CAP_CAND))
+        bundle_u8 = np.asarray(_pack_bundle_esc(
+            head_f32, xy, meta, valid_kp, bestb_d, candidx_d, candinm_d,
+            matched_d, bflip_d, bswap_d, material_d,
+            cap_meta=cap_meta, cap_cand=cap_cand,
+        ))
+    else:
+        if esc_present:
+            # legacy full-shape escalation block (VFX_ESC_COMPACT=0):
+            # octave packs into < 2^24 so the f32 ride is exact; the cell
+            # coordinates (ix/iy/jx/jy/jl) and all B indices fit u16
+            f32_parts.append(xy)
+            for key in _META_F32:
+                f32_parts.append(meta[key])
+            for key in _META_U16:
+                u16_parts.append(meta[key])
+            u16_parts.append(bestb_d)
+            u16_parts.append(candidx_d)
+            for arr in (valid_kp, candinm_d, matched_d, bflip_d, bswap_d,
+                        material_d):
+                u8_parts.append(arr)
+        bundle_u8 = np.asarray(_pack_bundle(f32_parts, u16_parts, u8_parts))
     if timings_out is not None:
         timings_out["bundle_pull_s"] = time.time() - _tb0
+        timings_out["bundle_bytes"] = int(bundle_u8.nbytes)
 
-    n_f32 = 1 + sum(int(np.prod(p.shape)) for p in f32_parts)
-    n_u16 = 1 + sum(int(np.prod(p.shape)) for p in u16_parts)
+    if compact:
+        head_n = sum(int(np.prod(p.shape)) for p in head_f32)
+        n_f32 = 1 + head_n + 2 + n_img * kcap * 2 + cap_meta * 4 + cap_cand
+        n_u16 = 1 + n1 * kcap + cap_meta * 5 + cap_cand * n_cand
+    else:
+        n_f32 = 1 + sum(int(np.prod(p.shape)) for p in f32_parts)
+        n_u16 = 1 + sum(int(np.prod(p.shape)) for p in u16_parts)
     bundle = bundle_u8[: 4 * n_f32].view(np.float32)
     bundle_u16 = bundle_u8[4 * n_f32 : 4 * n_f32 + 2 * n_u16].view(np.uint16)
     bundle_u8 = bundle_u8[4 * n_f32 + 2 * n_u16 :]
@@ -412,21 +557,84 @@ def finalize_pairwise_shifts(
             return take
 
         take_f = taker(bundle, off)
-        xy_np = take_f((n_img, kcap, 2)).astype(np.float64)
-        meta_np = {key: take_f((n_img, kcap)) for key in _META_F32}
-        take_u16 = taker(bundle_u16, 0)
-        for key in _META_U16:
-            meta_np[key] = take_u16((n_img, kcap))
-        n_cand = int(candidx_d.shape[-1])
-        bestb_np = take_u16((n1, kcap)).astype(np.int64)
-        candidx_np = take_u16((n1, kcap, n_cand)).astype(np.int64)
-        take_u8 = taker(bundle_u8, 0)
-        validkp_np = take_u8((n_img, kcap)) != 0
-        candinm_np = take_u8((n1, kcap, n_cand)) != 0
-        matched_np = take_u8((n1, kcap)) != 0
-        bflip_np = take_u8((n1, kcap)) != 0
-        bswap_np = take_u8((n1, kcap)) != 0
-        material_np = take_u8((n1, kcap)) != 0
+        if compact:
+            cnts = take_f((2,)).astype(np.int64)
+            cnt_meta, cnt_cand = int(cnts[0]), int(cnts[1])
+            xy_np = take_f((n_img, kcap, 2)).astype(np.float64)
+            meta_idx = take_f((cap_meta,)).astype(np.int64)
+            meta_c = {key: take_f((cap_meta,)) for key in _META_F32}
+            cand_rowidx = take_f((cap_cand,)).astype(np.int64)
+            take_u16 = taker(bundle_u16, 0)
+            bestb_np = take_u16((n1, kcap)).astype(np.int64)
+            for key in _META_U16:
+                meta_c[key] = take_u16((cap_meta,))
+            candidx_c = take_u16((cap_cand, n_cand)).astype(np.int64)
+            take_u8 = taker(bundle_u8, 0)
+            nbits = (n_img + 4 * n1) * kcap
+            packed = take_u8((-(-nbits // 8),))
+            bits = np.unpackbits(packed, bitorder="little")[:nbits] != 0
+            validkp_np = bits[: n_img * kcap].reshape(n_img, kcap)
+            rest = bits[n_img * kcap :].reshape(4, n1, kcap)
+            matched_np, bflip_np, bswap_np, material_np = rest
+            candinm_c = take_u8((cap_cand, n_cand)) != 0
+
+            # reconstruct full shapes; rows outside the shipped sets are
+            # zero — provably never read by escalate_pair (see
+            # _pack_bundle_esc).  Capacity overflow falls back to pulling
+            # the original device arrays (slower second fetch, correct).
+            import warnings
+
+            if cnt_meta > cap_meta:
+                warnings.warn(
+                    f"escalation meta compaction overflow ({cnt_meta} needed "
+                    f"rows > capacity {cap_meta}); pulling full metadata — "
+                    "raise VFX_ESC_CAP_META", RuntimeWarning, stacklevel=2,
+                )
+                meta_np = {
+                    key: np.asarray(meta[key]) for key in
+                    _META_F32 + _META_U16
+                }
+            else:
+                meta_np = {}
+                for key in _META_F32:
+                    full = np.zeros(n_img * kcap, np.float32)
+                    full[meta_idx[:cnt_meta]] = meta_c[key][:cnt_meta]
+                    meta_np[key] = full.reshape(n_img, kcap)
+                for key in _META_U16:
+                    full = np.zeros(n_img * kcap, np.uint16)
+                    full[meta_idx[:cnt_meta]] = meta_c[key][:cnt_meta]
+                    meta_np[key] = full.reshape(n_img, kcap)
+            if cnt_cand > cap_cand:
+                warnings.warn(
+                    f"escalation candidate compaction overflow ({cnt_cand} "
+                    f"swap rows > capacity {cap_cand}); pulling full "
+                    "candidate arrays — raise VFX_ESC_CAP_CAND",
+                    RuntimeWarning, stacklevel=2,
+                )
+                candidx_np = np.asarray(candidx_d).astype(np.int64)
+                candinm_np = np.asarray(candinm_d) != 0
+            else:
+                candidx_np = np.zeros((n1 * kcap, n_cand), np.int64)
+                candidx_np[cand_rowidx[:cnt_cand]] = candidx_c[:cnt_cand]
+                candidx_np = candidx_np.reshape(n1, kcap, n_cand)
+                candinm_np = np.zeros((n1 * kcap, n_cand), bool)
+                candinm_np[cand_rowidx[:cnt_cand]] = candinm_c[:cnt_cand]
+                candinm_np = candinm_np.reshape(n1, kcap, n_cand)
+        else:
+            xy_np = take_f((n_img, kcap, 2)).astype(np.float64)
+            meta_np = {key: take_f((n_img, kcap)) for key in _META_F32}
+            take_u16 = taker(bundle_u16, 0)
+            for key in _META_U16:
+                meta_np[key] = take_u16((n_img, kcap))
+            bestb_np = take_u16((n1, kcap)).astype(np.int64)
+            candidx_np = take_u16((n1, kcap, n_cand)).astype(np.int64)
+            take_u8 = taker(bundle_u8, 0)
+            validkp_np = take_u8((n_img, kcap)) != 0
+            candinm_np = take_u8((n1, kcap, n_cand)) != 0
+            matched_np = take_u8((n1, kcap)) != 0
+            bflip_np = take_u8((n1, kcap)) != 0
+            bswap_np = take_u8((n1, kcap)) != 0
+            material_np = take_u8((n1, kcap)) != 0
         if timings_out is not None:
             timings_out["esc_parse_s"] = time.time() - _te0
             timings_out["esc_n_pairs"] = int((nmaterial_np > 0).sum())
@@ -551,16 +759,28 @@ def finalize_to_panorama(
     mosaic_d, steps = out if return_steps else (out, None)
     from vfx_image_stitching_tpu.compose.crop import (
         mosaic_with_bounds,
+        mosaic_with_bounds_strips,
+        pull_strips,
         unpack_mosaic_bounds,
     )
 
     t1b = time.time()
     detail["plan_dispatch_s"] = t1b - t1
     # bounds + mosaic ride ONE u8 buffer: a tuple device_get fetches
-    # each leaf separately (six round trips on the tunneled harness)
-    buf = jax.device_get(
-        mosaic_with_bounds(mosaic_d, jnp.uint8(cfg.black_threshold))
-    )
+    # each leaf separately (six round trips on the tunneled harness).
+    # VFX_MOSAIC_STRIPS > 1 splits the buffer into row strips pulled
+    # concurrently from host threads (multiplexes the tunneled link).
+    n_strips = int(os.environ.get("VFX_MOSAIC_STRIPS", "1"))
+    if n_strips > 1:
+        buf = pull_strips(
+            mosaic_with_bounds_strips(
+                mosaic_d, jnp.uint8(cfg.black_threshold), n_strips
+            )
+        )
+    else:
+        buf = jax.device_get(
+            mosaic_with_bounds(mosaic_d, jnp.uint8(cfg.black_threshold))
+        )
     mosaic, bounds = unpack_mosaic_bounds(buf)
     t2 = time.time()
     detail["mosaic_pull_s"] = t2 - t1b
