@@ -65,9 +65,28 @@ def main() -> None:
         if "TPU" not in plane.name:
             continue
         ev_meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        # per-op-type stats (hlo_category, shape) live on the event
+        # METADATA, not the events; leaf aggregation below excludes
+        # control-flow containers so nested while/cond times don't
+        # double-count (this is how the r3 descriptor-gather cost was
+        # attributed — docs/DEVNOTES.md)
+        sm = plane.stat_metadata
+        ev_stats = {}
+        for m_id, m in plane.event_metadata.items():
+            d = {}
+            for st in m.stats:
+                d[sm[st.metadata_id].name] = (
+                    st.str_value
+                    or (sm[st.ref_value].name if st.ref_value else "")
+                    or st.int64_value
+                )
+            ev_stats[m_id] = d
         intervals = []
         op_time = collections.Counter()
         mod_time = collections.Counter()
+        cat_time = collections.Counter()
+        leaf_time = collections.Counter()
+        leaf_n = collections.Counter()
         span_lo, span_hi = None, 0
         for line in plane.lines:
             is_ops = line.name == "XLA Ops"
@@ -91,6 +110,14 @@ def main() -> None:
                     rhs = name.split(" = ", 1)[1]
                     kind = rhs.split("(", 1)[0].rsplit(" ", 1)[-1]
                 op_time[f"{short} [{kind}]"] += ev.duration_ps
+                stats = ev_stats.get(ev.metadata_id, {})
+                cat = str(stats.get("hlo_category", ""))
+                if cat not in ("while", "conditional", "call"):
+                    cat_time[cat] += ev.duration_ps
+                    shape = str(stats.get("shape_with_layout", ""))
+                    lkey = f"{short} [{cat}] {shape.split('{')[0]}"
+                    leaf_time[lkey] += ev.duration_ps
+                    leaf_n[lkey] += 1
         if not intervals:
             continue
         busy_s = _union_seconds(intervals)
@@ -111,6 +138,14 @@ def main() -> None:
             "busy_pct_of_span": round(100.0 * busy_s / span_s, 1),
             "modules": mods,
             "top_ops": top,
+            "leaf_by_category": [
+                {"category": k, "s": round(v / 1e12, 4)}
+                for k, v in cat_time.most_common(top_n)
+            ],
+            "top_leaf_ops": [
+                {"op": k, "s": round(v / 1e12, 4), "n": leaf_n[k]}
+                for k, v in leaf_time.most_common(2 * top_n)
+            ],
         })
     print(json.dumps(out, indent=1))
 

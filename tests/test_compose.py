@@ -149,3 +149,26 @@ def test_rectangle_crop_degenerate_margin_returns_input():
     img = np.zeros((20, 20, 3), np.uint8)
     img[9:11, 9:11] = 200
     np.testing.assert_array_equal(rectangle_crop(img, 0, 15), img)
+
+
+@pytest.mark.parametrize("n_strips", [1, 3, 4, 7])
+def test_mosaic_strips_pull_matches_single_buffer(n_strips):
+    """Strip-split pull == the single-buffer pull, byte for byte."""
+    from vfx_image_stitching_tpu.compose.crop import (
+        mosaic_with_bounds,
+        mosaic_with_bounds_strips,
+        pull_strips,
+        unpack_mosaic_bounds,
+    )
+
+    rng = np.random.default_rng(n_strips)
+    img = np.zeros((37, 21, 3), np.uint8)
+    img[5:30, 2:18] = rng.integers(1, 256, (25, 16, 3), dtype=np.uint8)
+    one = np.asarray(mosaic_with_bounds(jnp.asarray(img), jnp.uint8(0)))
+    buf = pull_strips(
+        mosaic_with_bounds_strips(jnp.asarray(img), jnp.uint8(0), n_strips)
+    )
+    np.testing.assert_array_equal(buf, one)
+    mosaic, bounds = unpack_mosaic_bounds(buf)
+    np.testing.assert_array_equal(mosaic, img)
+    assert bounds == (5, 29, 2, 17, True)

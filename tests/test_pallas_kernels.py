@@ -133,3 +133,62 @@ def test_descriptor_kernel_matches_xla_path():
     v = np.asarray(kps.valid)
     assert np.abs(a[v] - b[v]).max() <= 1.0  # rint boundary only
     assert (a[v] != b[v]).mean() < 0.02
+
+
+def test_pair_window_gather_bit_exact():
+    """Pallas block-fetch gather == the dynamic_slice path, bit for bit."""
+    from vfx_image_stitching_tpu.models.sift.pallas_kernels import (
+        pair_window_gather,
+    )
+    from vfx_image_stitching_tpu.models.sift.orientation import (
+        _window_gather_pair,
+        combine_mag_ang,
+    )
+
+    rng = np.random.default_rng(1)
+    for half, h, w in ((28, 200, 300), (44, 97, 120), (10, 64, 500)):
+        mag, ang = _stacks(rng, h, w)
+        k = 13
+        layer = rng.integers(0, 6, k).astype(np.int32)
+        cy = rng.integers(-5, h + 5, k).astype(np.int32)
+        cx = rng.integers(-5, w + 5, k).astype(np.int32)
+        mw, aw, sy, sx = pair_window_gather(
+            jnp.asarray(mag), jnp.asarray(ang), jnp.asarray(layer),
+            jnp.asarray(cy), jnp.asarray(cx), half,
+        )
+        ma = combine_mag_ang(jnp.asarray(mag), jnp.asarray(ang))
+        mw2, aw2, rows, cols = _window_gather_pair(
+            ma, jnp.asarray(layer), jnp.asarray(cy), jnp.asarray(cx), half
+        )
+        np.testing.assert_array_equal(np.asarray(mw), np.asarray(mw2))
+        np.testing.assert_array_equal(np.asarray(aw), np.asarray(aw2))
+        np.testing.assert_array_equal(np.asarray(sy), np.asarray(rows[:, 0]))
+        np.testing.assert_array_equal(np.asarray(sx), np.asarray(cols[:, 0]))
+
+
+def test_descriptor_pallas_gather_variant_matches():
+    """Full extract with desc_pallas_gather on/off: identical descriptors."""
+    import dataclasses
+
+    from vfx_image_stitching_tpu.config import SiftConfig, SiftCapacities
+    from vfx_image_stitching_tpu.models.sift.extract import (
+        sift_keypoints_and_descriptors,
+    )
+
+    rng = np.random.default_rng(2)
+    img = (rng.random((80, 96)) * 255).astype(np.float32)
+    small = SiftCapacities(
+        candidate_caps=(512, 256, 128, 64),
+        localized_caps=(256, 128, 64, 64),
+        oriented_caps=(256, 128, 64, 64),
+        max_keypoints=512,
+    )
+    base = SiftConfig(capacities=small)
+    kps_a, desc_a, _ = sift_keypoints_and_descriptors(jnp.asarray(img), base)
+    cfg_b = dataclasses.replace(
+        base,
+        capacities=dataclasses.replace(small, desc_pallas_gather=True),
+    )
+    kps_b, desc_b, _ = sift_keypoints_and_descriptors(jnp.asarray(img), cfg_b)
+    np.testing.assert_array_equal(np.asarray(kps_a.valid), np.asarray(kps_b.valid))
+    np.testing.assert_array_equal(np.asarray(desc_a), np.asarray(desc_b))

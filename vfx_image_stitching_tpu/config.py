@@ -86,6 +86,16 @@ class SiftCapacities:
     # (of 255) — measured to leave every dataset's shifts unchanged, but
     # off by default where bit-parity with the f32 path matters.
     desc_bf16: bool = False
+    # Pallas block-fetch window gather for the descriptor GEMM path: the
+    # vmapped per-keypoint dynamic_slice lowers to a sequential ~2.7 us
+    # while-loop iteration (~105 ms/run in the r3 device profile); the
+    # kernel fetches each window's 2x2 tile neighborhood in a pipelined
+    # grid and rotates it into place on the VPU (bit-exact data
+    # movement).  See pallas_kernels.pair_window_gather.  Default off so
+    # the CPU test path stays on native XLA; VFX_USE_PALLAS=1 (the chip
+    # entry knob, pipeline/stitch._resolve_cfg) turns it on — measured
+    # win in docs/CHIP_AB_R3B.json.
+    desc_pallas_gather: bool = False
 
     @staticmethod
     def _table(table: Tuple[int, ...], octave: int) -> int:

@@ -137,7 +137,18 @@ def compute_descriptors(
 
     lane_align = caps.desc_lane_align
     lyr = jnp.clip(layer - layer_base, 0, mag_stack.shape[-3] - 1)
-    if ma_stack is None or lane_align:
+    if caps.desc_pallas_gather and not lane_align:
+        from vfx_image_stitching_tpu.models.sift.pallas_kernels import (
+            pair_window_gather,
+        )
+
+        magw, angw, sy, sx = pair_window_gather(
+            mag_stack, ang_stack, lyr, pt_y, pt_x, half_cap
+        )
+        rng = jnp.arange(s, dtype=jnp.int32)
+        rows = sy[:, None] + rng[None, :]
+        cols = sx[:, None] + rng[None, :]
+    elif ma_stack is None or lane_align:
         magw, rows, cols = _window_gather(
             mag_stack, lyr, pt_y, pt_x, half_cap, lane_align
         )
@@ -199,15 +210,26 @@ def compute_descriptors(
     s2 = wm.shape[1] * wm.shape[2]
     # reference row split: c1 = wm*rf to row r0+2, (wm - c1) to row r0+1
     c1 = wm * rf
-    r6 = _two_hot(
-        jnp.clip(r0 + 1, 0, ww + 1), (wm - c1), c1, ww + 2, wrap=False
-    )                                                # (K, S, S, 6), wm folded
-    c6 = _two_hot(
-        jnp.clip(c0 + 1, 0, ww + 1), (1.0 - cf), cf, ww + 2, wrap=False
-    )                                                # (K, S, S, 6)
+    # rc = two_hot(rows) (x) two_hot(cols), built DIRECTLY over a
+    # combined 36-long minor axis: the (K,S,S,6,6) outer product +
+    # reshape forced XLA to materialize relayout copies of the bf16
+    # one-hot tensor (~20 ms/run of data formatting in the r3 trace);
+    # the fused elementwise form is bit-identical (same two factors,
+    # multiplied in the same f32 order) and born in the GEMM's layout.
+    ra = jnp.clip(r0 + 1, 0, ww + 1)[..., None]      # lo slot per sample
+    ca = jnp.clip(c0 + 1, 0, ww + 1)[..., None]
+    pos = jnp.arange((ww + 2) ** 2, dtype=jnp.int32)
+    pa = pos // (ww + 2)
+    pb = pos % (ww + 2)
+    rv = jnp.where(pa == ra, (wm - c1)[..., None], 0.0) + jnp.where(
+        pa == ra + 1, c1[..., None], 0.0
+    )
+    cv = jnp.where(pb == ca, (1.0 - cf)[..., None], 0.0) + jnp.where(
+        pb == ca + 1, cf[..., None], 0.0
+    )
     o8 = _two_hot(o0, (1.0 - of), of, nb, wrap=True)  # (K, S, S, 8)
 
-    rc = (r6[..., :, None] * c6[..., None, :]).reshape(k, s2, (ww + 2) ** 2)
+    rc = (rv * cv).reshape(k, s2, (ww + 2) ** 2)
     o8r = o8.reshape(k, s2, nb)
     if cfg.capacities.desc_bf16:
         rc = rc.astype(jnp.bfloat16)
@@ -246,7 +268,8 @@ def compute_descriptors_chunked(
     if k % chunk != 0:
         chunk = math.gcd(k, chunk) or k
     out_dim = cfg.window_width * cfg.window_width * cfg.desc_bins
-    if ma_stack is None and not cfg.capacities.desc_lane_align:
+    if (ma_stack is None and not cfg.capacities.desc_lane_align
+            and not cfg.capacities.desc_pallas_gather):
         from vfx_image_stitching_tpu.models.sift.orientation import (
             combine_mag_ang,
         )
@@ -322,7 +345,7 @@ def compute_descriptors_bucketed(
         return sub._replace(valid=member[idx])
 
     ma_stack = None
-    if not caps.desc_lane_align:
+    if not caps.desc_lane_align and not caps.desc_pallas_gather:
         from vfx_image_stitching_tpu.models.sift.orientation import (
             combine_mag_ang,
         )

@@ -383,3 +383,107 @@ def descriptor_histograms(
         *([ang_stack.astype(jnp.float32)] * 4),
     )
     return out[:k]
+
+
+def _pair_gather_kernel(
+    # scalar prefetch
+    r0_ref, c0_ref, layer_ref, roff_ref, coff_ref,
+    # block-mapped inputs: 2x2 tiles of mag and ang
+    m00, m01, m10, m11, a00, a01, a10, a11,
+    # outputs
+    out_m, out_a,
+    *, s: int, tr: int, tc: int,
+):
+    i = pl.program_id(0)
+    ro = roff_ref[i]
+    co = coff_ref[i]
+
+    def gather(t00, t01, t10, t11):
+        top = jnp.concatenate([t00[0], t01[0]], axis=1)
+        bot = jnp.concatenate([t10[0], t11[0]], axis=1)
+        full = jnp.concatenate([top, bot], axis=0)        # (2tr, 2tc)
+        # rotate the window start to the origin (dynamic sublane/lane
+        # roll; shifts kept positive: ro in [0, tr), co in [0, tc))
+        full = pltpu.roll(full, 2 * tr - ro, 0)
+        full = pltpu.roll(full, 2 * tc - co, 1)
+        return full[:s, :s]
+
+    out_m[0] = gather(m00, m01, m10, m11)
+    out_a[0] = gather(a00, a01, a10, a11)
+
+
+@functools.partial(jax.jit, static_argnames=("half_cap", "interpret"))
+def pair_window_gather(
+    mag_stack: jnp.ndarray,
+    ang_stack: jnp.ndarray,
+    layer: jnp.ndarray,
+    cy: jnp.ndarray,
+    cx: jnp.ndarray,
+    half_cap: int,
+    interpret: bool = False,
+):
+    """(K, S, S) mag+ang windows with S = 2*half_cap + 1 — Pallas path.
+
+    Drop-in replacement for orientation._window_gather_pair (same
+    clamped-start semantics; bit-exact data movement): the vmapped
+    per-keypoint ``dynamic_slice`` lowers to a sequential while loop
+    (~2.7 us per keypoint — ~105 ms/run of the round-3 device profile);
+    here a pipelined grid fetches the 2x2 (tr, 128)-tile neighborhood
+    of each window and the VPU rotates it into place, so the cost is
+    ~the tile DMA.  Returns ``(magw, angw, sy, sx)`` — window starts,
+    from which callers derive absolute coords.
+    """
+    s = 2 * half_cap + 1
+    tr = ((s - 1 + 7) // 8) * 8           # 2 tiles cover any window: s <= tr+1
+    tc = TILE_C
+    n_l, h, w = mag_stack.shape
+    hp = max(h, s)
+    wp = max(w, s)
+    sy = jnp.clip(cy - half_cap, 0, hp - s).astype(jnp.int32)
+    sx = jnp.clip(cx - half_cap, 0, wp - s).astype(jnp.int32)
+
+    # pad so tiles (r0+1, c0+1) always exist
+    n_tr = hp // tr + 2
+    n_tc = wp // tc + 2
+    pads = [(0, 0), (0, n_tr * tr - h), (0, n_tc * tc - w)]
+    mag_stack = jnp.pad(mag_stack, pads)
+    ang_stack = jnp.pad(ang_stack, pads)
+
+    r0 = sy // tr
+    c0 = sx // tc
+    roff = sy - r0 * tr
+    coff = sx - c0 * tc
+    k = layer.shape[0]
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    def tile_spec(tdr, tdc):
+        return pl.BlockSpec(
+            (1, tr, tc),
+            lambda i, r0_ref, c0_ref, layer_ref, *_: (
+                layer_ref[i], r0_ref[i] + tdr, c0_ref[i] + tdc
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(k,),
+        in_specs=[tile_spec(tdr, tdc) for tdr in (0, 1) for tdc in (0, 1)] * 2,
+        out_specs=[
+            pl.BlockSpec((1, s, s), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ],
+    )
+    kernel = functools.partial(_pair_gather_kernel, s=s, tr=tr, tc=tc)
+    magw, angw = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((k, s, s), jnp.float32)] * 2,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        r0, c0, layer.astype(jnp.int32), roff, coff,
+        *([mag_stack.astype(jnp.float32)] * 4),
+        *([ang_stack.astype(jnp.float32)] * 4),
+    )
+    return magw, angw, sy, sx

@@ -312,10 +312,25 @@ def _resolve_cfg(backend: str, cfg: Optional[StitchConfig]) -> StitchConfig:
     cfg = cfg or StitchConfig(backend=backend)
     if cfg.backend != backend:
         cfg = dataclasses.replace(cfg, backend=backend)
-    if os.environ.get("VFX_USE_PALLAS") == "1" and not cfg.sift.use_pallas:
-        cfg = dataclasses.replace(
-            cfg, sift=dataclasses.replace(cfg.sift, use_pallas=True)
-        )
+    if os.environ.get("VFX_USE_PALLAS") == "1":
+        # chip runs opt in via env; the Pallas window gather rides along
+        # (docs/CHIP_AB_R3B.json: best config -0.11 s median vs base,
+        # shifts_ok all rounds) unless VFX_PALLAS_GATHER=0 pins the XLA
+        # dynamic_slice gather for A/B.
+        gather = os.environ.get("VFX_PALLAS_GATHER", "1") == "1"
+        if not cfg.sift.use_pallas or (
+            gather and not cfg.sift.capacities.desc_pallas_gather
+        ):
+            cfg = dataclasses.replace(
+                cfg,
+                sift=dataclasses.replace(
+                    cfg.sift,
+                    use_pallas=True,
+                    capacities=dataclasses.replace(
+                        cfg.sift.capacities, desc_pallas_gather=gather
+                    ),
+                ),
+            )
     return cfg
 
 
@@ -769,8 +784,10 @@ def finalize_to_panorama(
     # bounds + mosaic ride ONE u8 buffer: a tuple device_get fetches
     # each leaf separately (six round trips on the tunneled harness).
     # VFX_MOSAIC_STRIPS > 1 splits the buffer into row strips pulled
-    # concurrently from host threads (multiplexes the tunneled link).
-    n_strips = int(os.environ.get("VFX_MOSAIC_STRIPS", "1"))
+    # concurrently from host threads (multiplexes the tunneled link);
+    # 4 measured best on-chip (docs/CHIP_AB_R3B.json: mosaic_pull
+    # 0.31 -> 0.25 s median, interleaved A/B).
+    n_strips = int(os.environ.get("VFX_MOSAIC_STRIPS", "4"))
     if n_strips > 1:
         buf = pull_strips(
             mosaic_with_bounds_strips(
