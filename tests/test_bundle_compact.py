@@ -175,3 +175,20 @@ def test_compact_overflow_falls_back_with_warning(monkeypatch):
                     np.asarray(c[side][key], np.float64),
                     err_msg=f"{side}.{key}",
                 )
+
+
+@pytest.mark.parametrize("n_strips", [2, 5])
+def test_bundle_strip_pull_matches_single(n_strips, monkeypatch):
+    """VFX_BUNDLE_STRIPS concurrent pull is byte-identical to one fetch."""
+    state, pair_out = _synthetic(7)
+    one_calls, one_out = _run(state, pair_out, monkeypatch, compact=True)
+    monkeypatch.setenv("VFX_BUNDLE_STRIPS", str(n_strips))
+    strip_calls, strip_out = _run(state, pair_out, monkeypatch, compact=True)
+    assert len(one_calls) == len(strip_calls) > 0
+    for f, c in zip(one_calls, strip_calls):
+        for key in ("xy_a", "xy_b", "valid_a", "best_b", "matched",
+                    "border_flip", "border_swap", "material",
+                    "cand_idx", "cand_inm"):
+            np.testing.assert_array_equal(f[key], c[key], err_msg=key)
+    for a, b in zip(one_out, strip_out):
+        np.testing.assert_array_equal(np.asarray(a, object), np.asarray(b, object))

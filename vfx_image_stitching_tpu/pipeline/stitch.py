@@ -92,6 +92,34 @@ def _pack_bundle(f32_parts, u16_parts, u8_parts):
     return _assemble_bundle(f32_parts, u16_parts, u8_parts)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _split_u8(buf: jnp.ndarray, n: int):
+    """Split a 1-D u8 buffer into n ceil-sized chunks (one executable)."""
+    m = buf.shape[0]
+    per = -(-m // n)
+    return tuple(
+        buf[i * per : min((i + 1) * per, m)]
+        for i in range(n)
+        if i * per < m
+    )
+
+
+def _pull_bundle(bundle_dev) -> np.ndarray:
+    """Device->host pull of the packed result bundle.
+
+    VFX_BUNDLE_STRIPS > 1 pulls ceil-split chunks concurrently from
+    host threads — the same link-multiplexing trick the mosaic pull
+    uses (compose/crop.pull_strips, docs/CHIP_AB_R3B.json); default 1
+    (single fetch) pending an on-chip win.
+    """
+    n = int(os.environ.get("VFX_BUNDLE_STRIPS", "1"))
+    if n <= 1:
+        return np.asarray(bundle_dev)
+    from vfx_image_stitching_tpu.compose.crop import pull_strips
+
+    return pull_strips(_split_u8(bundle_dev, n))
+
+
 def _pack_bits(flat_bool: jnp.ndarray) -> jnp.ndarray:
     """(M,) bool -> (ceil(M/8),) u8, little-endian bit order."""
     m = flat_bool.shape[0]
@@ -465,7 +493,7 @@ def finalize_pairwise_shifts(
     if compact:
         cap_meta = int(os.environ.get("VFX_ESC_CAP_META", _ESC_CAP_META))
         cap_cand = int(os.environ.get("VFX_ESC_CAP_CAND", _ESC_CAP_CAND))
-        bundle_u8 = np.asarray(_pack_bundle_esc(
+        bundle_u8 = _pull_bundle(_pack_bundle_esc(
             head_f32, xy, meta, valid_kp, bestb_d, candidx_d, candinm_d,
             matched_d, bflip_d, bswap_d, material_d,
             cap_meta=cap_meta, cap_cand=cap_cand,
@@ -485,7 +513,7 @@ def finalize_pairwise_shifts(
             for arr in (valid_kp, candinm_d, matched_d, bflip_d, bswap_d,
                         material_d):
                 u8_parts.append(arr)
-        bundle_u8 = np.asarray(_pack_bundle(f32_parts, u16_parts, u8_parts))
+        bundle_u8 = _pull_bundle(_pack_bundle(f32_parts, u16_parts, u8_parts))
     if timings_out is not None:
         timings_out["bundle_pull_s"] = time.time() - _tb0
         timings_out["bundle_bytes"] = int(bundle_u8.nbytes)
