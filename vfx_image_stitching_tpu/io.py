@@ -264,6 +264,7 @@ def load_dataset_device_grouped(
 
 def load_dataset_device_split(
     folder: str, pano_file: Optional[str] = None, group_target: int = 6,
+    upload_rgb: bool = True,
 ):
     """Gray-first grouped loader: only gray rides the critical path.
 
@@ -320,14 +321,15 @@ def load_dataset_device_split(
     # per image and are consumed only at compose time
     gray_stack = jax.device_put(np.stack(gray_imgs))
     rgb_imgs: List[Optional[object]] = [None] * n
-    zero_rgb = None
-    for i in range(n):
-        if host_imgs[i] is not None:
-            rgb_imgs[i] = jax.device_put(host_imgs[i])
-        else:
-            if zero_rgb is None:
-                zero_rgb = jnp.zeros(shape, jnp.uint8)
-            rgb_imgs[i] = zero_rgb
+    if upload_rgb:
+        zero_rgb = None
+        for i in range(n):
+            if host_imgs[i] is not None:
+                rgb_imgs[i] = jax.device_put(host_imgs[i])
+            else:
+                if zero_rgb is None:
+                    zero_rgb = jnp.zeros(shape, jnp.uint8)
+                rgb_imgs[i] = zero_rgb
 
     g = pick_group_size(n, group_target)
     gray_batches = [gray_stack[a : a + g] for a in range(0, n, g)]

@@ -786,9 +786,45 @@ def finalize_to_panorama(
     result-bundle pull ever waits on the RGB uploads; ``cyl`` may then
     be the gray batch (used for counts and as the escalation fallback —
     the strict path grays it anyway).
+
+    ``VFX_HOST_COMPOSE=1`` composes the mosaic on HOST
+    (compose/host.py): the cylindrical RGB projections are computed in
+    a background thread *during* the result-bundle device wait (host
+    and device gathers are bit-identical), and the fold + bounds + crop
+    all happen in NumPy — the compose dispatch and the ~6.6 MB mosaic
+    pull leave the critical path entirely.  Requires host images; the
+    step-capture path (``return_steps``) stays on device.
     """
     detail: dict = {}
     t0 = time.time()
+    n_imgs = int(cyl.shape[0])
+    host_compose = (
+        os.environ.get("VFX_HOST_COMPOSE", "0") == "1"
+        and not return_steps
+        and host_images is not None
+        and focals is not None
+        and all(
+            host_images[i] is not None for i in range(n_imgs) if valid[i]
+        )
+    )
+    proj_futs = None
+    if host_compose:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from vfx_image_stitching_tpu.geometry.cylindrical import (
+            cylindrical_project_host_cached,
+        )
+
+        _pool = ThreadPoolExecutor(max_workers=4)
+        proj_futs = {
+            i: _pool.submit(
+                cylindrical_project_host_cached,
+                host_images[i], float(focals[i]),
+            )
+            for i in range(n_imgs)
+            if valid[i]
+        }
+        _pool.shutdown(wait=False)
     shifts, pairs, counts = finalize_pairwise_shifts(
         cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
         host_images=host_images, focals=focals, timings_out=detail,
@@ -797,6 +833,28 @@ def finalize_to_panorama(
     n = cyl.shape[0]
     corrected = correct_drift(shifts, n_images=n)
     plan = plan_compose(h, w, n, list(valid), corrected, pairs)
+    if host_compose:
+        from vfx_image_stitching_tpu.compose.host import (
+            compose_mosaic_host,
+            content_bounds_host,
+        )
+        from vfx_image_stitching_tpu.compose.crop import apply_crop
+
+        imgs_host = {i: f.result() for i, f in proj_futs.items()}
+        t1b = time.time()
+        detail["plan_dispatch_s"] = t1b - t1
+        mosaic = compose_mosaic_host(imgs_host, plan)
+        bounds = content_bounds_host(mosaic, cfg.black_threshold)
+        t2 = time.time()
+        detail["mosaic_pull_s"] = t2 - t1b  # host fold (no transfer)
+        panorama = apply_crop(mosaic, bounds, margin)
+        t3 = time.time()
+        return _Finalized(
+            panorama=panorama, mosaic=mosaic, shifts=shifts,
+            corrected=corrected, pairs=pairs, counts=counts, steps=None,
+            finalize_s=t1 - t0, compose_s=t2 - t1, crop_s=t3 - t2,
+            detail=detail,
+        )
     src = compose_cyl() if compose_cyl is not None else cyl
     out = compose_mosaic(src, plan, return_steps=return_steps)
     mosaic_d, steps = out if return_steps else (out, None)
@@ -868,11 +926,17 @@ def _stitch_inner(
     t0 = time.time()
     group_target = int(os.environ.get("VFX_LOAD_GROUP", "6"))
     gray_first = os.environ.get("VFX_GRAY_FIRST", "0") == "1"
+    host_compose = os.environ.get("VFX_HOST_COMPOSE", "0") == "1"
     if gray_first:
         from vfx_image_stitching_tpu.io import load_dataset_device_split
 
+        # with host compose the RGB batch never reaches the device at
+        # all — only the 1 byte/px grays ride the link
         gray_batches, rgb_imgs, valid, focals, (h, w, _c), host_imgs = (
-            load_dataset_device_split(folder, pano_file, group_target)
+            load_dataset_device_split(
+                folder, pano_file, group_target,
+                upload_rgb=not (host_compose and not return_steps),
+            )
         )
     else:  # RGB-everything fallback (VFX_GRAY_FIRST=0)
         from vfx_image_stitching_tpu.io import load_dataset_device_grouped
