@@ -116,7 +116,7 @@ def test_pipeline_host_compose_matches_device(extra_env, monkeypatch, tmp_path):
         pytest.skip("reference datasets unavailable")
     from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama
 
-    monkeypatch.delenv("VFX_HOST_COMPOSE", raising=False)
+    monkeypatch.setenv("VFX_HOST_COMPOSE", "0")  # device-path baseline
     base = stitch_panorama(folder, backend="harris")
     monkeypatch.setenv("VFX_HOST_COMPOSE", "1")
     for k, v in extra_env.items():

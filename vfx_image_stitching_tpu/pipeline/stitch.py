@@ -787,7 +787,8 @@ def finalize_to_panorama(
     be the gray batch (used for counts and as the escalation fallback —
     the strict path grays it anyway).
 
-    ``VFX_HOST_COMPOSE=1`` composes the mosaic on HOST
+    ``VFX_HOST_COMPOSE`` (default ON; the measured on-chip winner,
+    docs/CHIP_AB_R3C.json) composes the mosaic on HOST
     (compose/host.py): the cylindrical RGB projections are computed in
     a background thread *during* the result-bundle device wait (host
     and device gathers are bit-identical), and the fold + bounds + crop
@@ -799,7 +800,7 @@ def finalize_to_panorama(
     t0 = time.time()
     n_imgs = int(cyl.shape[0])
     host_compose = (
-        os.environ.get("VFX_HOST_COMPOSE", "0") == "1"
+        os.environ.get("VFX_HOST_COMPOSE", "1") == "1"
         and not return_steps
         and host_images is not None
         and focals is not None
@@ -925,8 +926,17 @@ def _stitch_inner(
     timings = {}
     t0 = time.time()
     group_target = int(os.environ.get("VFX_LOAD_GROUP", "6"))
-    gray_first = os.environ.get("VFX_GRAY_FIRST", "0") == "1"
-    host_compose = os.environ.get("VFX_HOST_COMPOSE", "0") == "1"
+    # Host compose + gray-first is the measured on-chip winner (0.83 s
+    # vs 1.41 s median, docs/CHIP_AB_R3C.json): the mosaic never crosses
+    # the link and only 1 byte/px grays ride the upload.  Gray-first
+    # WITHOUT host compose stays opt-in — it was A/B-refuted there (the
+    # per-image RGB uploads it defers cost more than they save,
+    # docs/DEVNOTES.md r3a).
+    host_compose = os.environ.get("VFX_HOST_COMPOSE", "1") == "1"
+    gray_first = (
+        os.environ.get("VFX_GRAY_FIRST", "1" if host_compose else "0")
+        == "1"
+    )
     if gray_first:
         from vfx_image_stitching_tpu.io import load_dataset_device_split
 
