@@ -131,7 +131,8 @@ def load_dataset(
 
 
 def load_dataset_device(
-    folder: str, pano_file: Optional[str] = None, with_host: bool = False
+    folder: str, pano_file: Optional[str] = None, with_host: bool = False,
+    gray: bool = False,
 ):
     """Load a dataset straight onto the device, overlapping decode with
     transfer.
@@ -143,7 +144,10 @@ def load_dataset_device(
     where unreadable images are zero-filled with ``valid=False``.  With
     ``with_host=True`` a fifth element carries the decoded host arrays
     (``None`` per unreadable image) — the knife-edge escalation path uses
-    them to avoid pulling images back off the device.
+    them to avoid pulling images back off the device.  ``gray=True``
+    uploads host-grayed (N, H, W) images instead — 1 byte/px for
+    extraction-only device use (host-compose multi-dataset path); the
+    reported ``shape`` stays the RGB one.
     """
     import concurrent.futures as cf
 
@@ -160,7 +164,7 @@ def load_dataset_device(
     resolved = [resolve_image_path(p, folder) for p in img_paths]
 
     device_imgs, host_imgs, valid, shape = _decode_upload(
-        resolved, with_host
+        resolved, with_host, gray=gray
     )
     batch = jnp.stack(device_imgs)
     if with_host:
@@ -183,12 +187,15 @@ def _validate_decoded(shapes: List[Optional[tuple]]):
     return next(iter(shape_set)), np.array([s is not None for s in shapes])
 
 
-def _decode_upload(resolved: List[str], with_host: bool):
+def _decode_upload(resolved: List[str], with_host: bool, gray: bool = False):
     """Threaded JPEG decode with per-image async device_put."""
     import concurrent.futures as cf
 
     import jax
     import jax.numpy as jnp
+
+    if gray:
+        from vfx_image_stitching_tpu.ops.color import bgr_to_gray_u8_np
 
     n = len(resolved)
     device_imgs: List[Optional[object]] = [None] * n
@@ -201,7 +208,9 @@ def _decode_upload(resolved: List[str], with_host: bool):
             img = fut.result()
             if img is not None:
                 shapes[i] = img.shape
-                device_imgs[i] = jax.device_put(img)  # async transfer
+                device_imgs[i] = jax.device_put(
+                    bgr_to_gray_u8_np(img) if gray else img
+                )  # async transfer
                 if with_host:
                     host_imgs[i] = img
 
@@ -210,7 +219,7 @@ def _decode_upload(resolved: List[str], with_host: bool):
     for i in range(n):
         if device_imgs[i] is None:
             if zero is None:
-                zero = jnp.zeros(shape, jnp.uint8)
+                zero = jnp.zeros(shape[:2] if gray else shape, jnp.uint8)
             device_imgs[i] = zero
     return device_imgs, host_imgs, valid, shape
 

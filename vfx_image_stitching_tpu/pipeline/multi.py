@@ -74,10 +74,13 @@ def stitch_many(
 
     names = [os.path.basename(os.path.normpath(f)) for f in folders]
 
-    # phase 1: decode + upload every dataset concurrently
+    # phase 1: decode + upload every dataset concurrently; under host
+    # compose (the default, docs/CHIP_AB_R3C.json) only 1 byte/px grays
+    # go up — the compose source is rebuilt on host from host_imgs
+    gray = os.environ.get("VFX_HOST_COMPOSE", "1") == "1"
     with cf.ThreadPoolExecutor(max_workers=max(1, len(folders))) as pool:
         loads = [
-            pool.submit(load_dataset_device, f, with_host=True)
+            pool.submit(load_dataset_device, f, with_host=True, gray=gray)
             for f in folders
         ]
         loaded = [f.result() for f in loads]
