@@ -42,24 +42,38 @@ def run(backend: str) -> dict:
     folder = os.path.join(DATA_ROOT, "parrington")
     # warmup (compile + cache)
     stitch_panorama(folder, backend=backend, crop_margin=15, save_path=None)
-    # median of 5 warm runs: the dev harness tunnels device IO through an
-    # HTTP relay whose latency jitters by several hundred ms run-to-run
+    # median of >=5 warm runs: the dev harness tunnels device IO through
+    # an HTTP relay whose latency jitters by several hundred ms run-to-
+    # run AND whose throughput oscillates ~2x between minutes
+    # (docs/DEVNOTES.md).  When the observed spread is tunnel-dominated
+    # (IQR > 25% of median), keep sampling up to 11 runs so the median
+    # estimates typical latency, not one bad burst.
     times = []
-    for _ in range(5):
+    for i in range(11):
         t0 = time.time()
         res = stitch_panorama(
             folder, backend=backend, crop_margin=15, save_path=None
         )
         times.append(time.time() - t0)
+        if i >= 4:
+            srt = sorted(times)
+            med = srt[len(srt) // 2]
+            iqr = srt[(3 * len(srt)) // 4] - srt[len(srt) // 4]
+            if iqr <= 0.25 * med:
+                break
     elapsed = sorted(times)[len(times) // 2]
 
     baseline = BASELINES[backend]
     out = {
-        "metric": f"parrington 18-img {backend} stitch end-to-end (warm, median of 5)",
+        "metric": (
+            f"parrington 18-img {backend} stitch end-to-end "
+            f"(warm, median of {len(times)})"
+        ),
         "value": round(elapsed, 4),
         "unit": "s",
         "vs_baseline": round(baseline / elapsed, 1),
         "warm_runs_s": [round(t, 4) for t in times],
+        "warm_best_s": round(min(times), 4),
     }
     # parity extras (not part of the one-line contract, kept in the dict)
     try:
