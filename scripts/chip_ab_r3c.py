@@ -55,11 +55,18 @@ def main() -> None:
         ),
     )
 
+    # every config pins VFX_HOST_COMPOSE/VFX_GRAY_FIRST explicitly so the
+    # comparison is reproducible regardless of the pipeline's defaults
+    # (this A/B is what flipped them to host compose + gray-first)
     configs = {
-        "best": dict(env={"VFX_MOSAIC_STRIPS": "4"}),
+        "best": dict(env={"VFX_MOSAIC_STRIPS": "4",
+                          "VFX_HOST_COMPOSE": "0", "VFX_GRAY_FIRST": "0"}),
         "bstrips4": dict(env={"VFX_MOSAIC_STRIPS": "4",
-                              "VFX_BUNDLE_STRIPS": "4"}),
-        "hostc": dict(env={"VFX_HOST_COMPOSE": "1"}),
+                              "VFX_BUNDLE_STRIPS": "4",
+                              "VFX_HOST_COMPOSE": "0",
+                              "VFX_GRAY_FIRST": "0"}),
+        "hostc": dict(env={"VFX_HOST_COMPOSE": "1",
+                           "VFX_GRAY_FIRST": "0"}),
         "hostgray": dict(env={"VFX_HOST_COMPOSE": "1",
                               "VFX_GRAY_FIRST": "1"}),
     }

@@ -77,3 +77,32 @@ def test_host_projection_bit_identical_to_device():
         dev = np.asarray(cylindrical_project(jnp.asarray(img), focal))
         host = cylindrical_project_host(img, focal)
         np.testing.assert_array_equal(dev, host)
+
+
+def test_host_projection_cache_thread_safe():
+    """Concurrent cached projections past the eviction cap must not race.
+
+    The host-compose pool + escalation call the cached gather from
+    several threads; an unsynchronized eviction raises KeyError.  Hammer
+    the cache with more distinct keys than its capacity from 8 threads.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vfx_image_stitching_tpu.geometry import cylindrical as cyl_mod
+
+    rng = np.random.default_rng(9)
+    imgs = [
+        rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        for _ in range(cyl_mod._HOST_PROJ_CACHE_MAX + 8)
+    ]
+
+    def work(seed):
+        r = np.random.default_rng(seed)
+        for _ in range(30):
+            i = int(r.integers(0, len(imgs)))
+            out = cyl_mod.cylindrical_project_host_cached(imgs[i], 50.0 + i)
+            assert out.shape == imgs[i].shape
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        assert all(ex.map(work, range(8)))

@@ -157,10 +157,16 @@ def test_stitch_many_matches_stitch_panorama(tmp_path, reference_dir):
 def test_gray_first_path_equals_default(monkeypatch):
     """VFX_GRAY_FIRST=1 (gray-critical-path loader + compose-time RGB
     projection) must be pixel-identical to the default RGB path — the
-    fixed-point BGR2GRAY commutes exactly with the cylindrical gather."""
+    fixed-point BGR2GRAY commutes exactly with the cylindrical gather.
+
+    Both runs pin VFX_HOST_COMPOSE=0: under host compose (the default)
+    gray-first is already on, and this test exists to cover the
+    DEVICE-compose pairing — the compose_cyl RGB-projection closure and
+    the upload_rgb=True loader leg."""
     from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama
 
     folder = os.path.join(REFERENCE_DIR, "out")
+    monkeypatch.setenv("VFX_HOST_COMPOSE", "0")
     base = stitch_panorama(folder, backend="harris", crop_margin=30)
     monkeypatch.setenv("VFX_GRAY_FIRST", "1")
     gray = stitch_panorama(folder, backend="harris", crop_margin=30)

@@ -67,6 +67,21 @@ def mosaic_with_bounds(img: jnp.ndarray, black_threshold: jnp.ndarray):
     return jnp.concatenate([img.reshape(-1), extra]).reshape(h + 1, w, c)
 
 
+def ceil_split(buf, n: int):
+    """Split along axis 0 into n ceil-sized chunks (tracing-safe).
+
+    Shared by the mosaic strip pull (rows) and the result-bundle strip
+    pull (flat bytes) so the chunking arithmetic cannot drift.
+    """
+    m = buf.shape[0]
+    per = -(-m // n)  # ceil
+    return tuple(
+        buf[i * per : min((i + 1) * per, m)]
+        for i in range(n)
+        if i * per < m
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("n_strips",))
 def mosaic_with_bounds_strips(
     img: jnp.ndarray, black_threshold: jnp.ndarray, n_strips: int
@@ -81,14 +96,7 @@ def mosaic_with_bounds_strips(
     program per strip shape).  Reassemble with ``np.concatenate`` after
     :func:`pull_strips`; then :func:`unpack_mosaic_bounds` as usual.
     """
-    buf = mosaic_with_bounds(img, black_threshold)
-    rows = buf.shape[0]
-    per = -(-rows // n_strips)  # ceil
-    return tuple(
-        buf[i * per : min((i + 1) * per, rows)]
-        for i in range(n_strips)
-        if i * per < rows
-    )
+    return ceil_split(mosaic_with_bounds(img, black_threshold), n_strips)
 
 
 def pull_strips(strips) -> np.ndarray:

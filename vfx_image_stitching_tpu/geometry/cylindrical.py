@@ -89,7 +89,8 @@ def cylindrical_project_host(img_bgr: np.ndarray, focal: float) -> np.ndarray:
 
 
 _HOST_PROJ_CACHE: dict = {}
-_HOST_PROJ_CACHE_MAX = 32
+_HOST_PROJ_CACHE_MAX = 64
+_HOST_PROJ_LOCK = __import__("threading").Lock()
 
 
 def cylindrical_project_host_cached(
@@ -100,6 +101,12 @@ def cylindrical_project_host_cached(
     Repeated pipeline runs over the same dataset (warm benchmarks, the
     multi-pano loop) escalate the same pairs; caching by source-image
     content + focal skips the ~10 ms/image host gather on every rerun.
+
+    Thread-safe: the host-compose path calls this from a projection
+    thread pool concurrently with the escalation path, so cache reads/
+    evictions are locked (an unsynchronized two-thread eviction of the
+    same first key raises KeyError).  The projection itself runs outside
+    the lock — a same-key race at worst computes the gather twice.
     """
     import hashlib
 
@@ -107,12 +114,14 @@ def cylindrical_project_host_cached(
     hsh.update(np.ascontiguousarray(img_bgr).tobytes())
     hsh.update(str(img_bgr.shape).encode())
     key = (hsh.digest(), float(focal))
-    hit = _HOST_PROJ_CACHE.get(key)
+    with _HOST_PROJ_LOCK:
+        hit = _HOST_PROJ_CACHE.get(key)
     if hit is None:
-        if len(_HOST_PROJ_CACHE) >= _HOST_PROJ_CACHE_MAX:
-            _HOST_PROJ_CACHE.pop(next(iter(_HOST_PROJ_CACHE)))
         hit = cylindrical_project_host(img_bgr, focal)
-        _HOST_PROJ_CACHE[key] = hit
+        with _HOST_PROJ_LOCK:
+            while len(_HOST_PROJ_CACHE) >= _HOST_PROJ_CACHE_MAX:
+                _HOST_PROJ_CACHE.pop(next(iter(_HOST_PROJ_CACHE)))
+            _HOST_PROJ_CACHE[key] = hit
     return hit
 
 

@@ -94,14 +94,10 @@ def _pack_bundle(f32_parts, u16_parts, u8_parts):
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _split_u8(buf: jnp.ndarray, n: int):
-    """Split a 1-D u8 buffer into n ceil-sized chunks (one executable)."""
-    m = buf.shape[0]
-    per = -(-m // n)
-    return tuple(
-        buf[i * per : min((i + 1) * per, m)]
-        for i in range(n)
-        if i * per < m
-    )
+    """Ceil-split a 1-D u8 buffer into n chunks as ONE executable."""
+    from vfx_image_stitching_tpu.compose.crop import ceil_split
+
+    return ceil_split(buf, n)
 
 
 def _pull_bundle(bundle_dev) -> np.ndarray:
@@ -989,12 +985,22 @@ def _stitch_inner(
 
     def compose_cyl():
         # per-group projection reuses the device-resident winner stacks
-        # the gray projections cached (same (h, w, focal-slice) keys)
+        # the gray projections cached (same (h, w, focal-slice) keys).
+        # rgb_imgs entries may be None when the loader skipped RGB
+        # uploads (upload_rgb=False) but finalize then declined host
+        # compose — upload from the host copies (zeros for unreadable
+        # images) rather than crash on the placeholders.
         out, a = [], 0
         for gsize in sizes:
-            rgb_g = jnp.stack(rgb_imgs[a : a + gsize])
+            grp = []
+            for i in range(a, a + gsize):
+                im = rgb_imgs[i]
+                if im is None:
+                    im = (host_imgs[i] if host_imgs[i] is not None
+                          else np.zeros((h, w, 3), np.uint8))
+                grp.append(jnp.asarray(im))
             out.append(cylindrical_project_batch(
-                rgb_g, tuple(focals[a : a + gsize])
+                jnp.stack(grp), tuple(focals[a : a + gsize])
             ))
             a += gsize
         return jnp.concatenate(out) if len(out) > 1 else out[0]
