@@ -31,7 +31,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("VFX_USE_PALLAS", "1")
 
 DATA = os.environ.get("VFX_REFERENCE_DIR", "/root/reference")
-OUT = os.path.join(REPO, "docs", "CHIP_AB_R3C.json")
+OUT = os.environ.get(
+    "VFX_AB_OUT", os.path.join(REPO, "docs", "CHIP_AB_R3C.json")
+)
 N_ROUNDS = int(os.environ.get("VFX_AB_ROUNDS", "5"))
 _ENV_KEYS = ("VFX_MOSAIC_STRIPS", "VFX_BUNDLE_STRIPS",
              "VFX_HOST_COMPOSE", "VFX_GRAY_FIRST")

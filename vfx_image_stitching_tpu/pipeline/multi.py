@@ -74,25 +74,30 @@ def stitch_many(
 
     names = [os.path.basename(os.path.normpath(f)) for f in folders]
 
-    # phase 1: decode + upload every dataset concurrently; under host
+    # phase 1+2: decode + upload every dataset concurrently and dispatch
+    # projection + features + pair step for each AS SOON AS its own load
+    # lands (no barrier on the slowest dataset's decode — later loads
+    # upload while earlier datasets already compute).  Under host
     # compose (the default, docs/CHIP_AB_R3C.json) only 1 byte/px grays
-    # go up — the compose source is rebuilt on host from host_imgs
+    # go up — the compose source is rebuilt on host from host_imgs.
     gray = os.environ.get("VFX_HOST_COMPOSE", "1") == "1"
+    staged_by_idx: Dict[int, tuple] = {}
     with cf.ThreadPoolExecutor(max_workers=max(1, len(folders))) as pool:
-        loads = [
-            pool.submit(load_dataset_device, f, with_host=True, gray=gray)
-            for f in folders
-        ]
-        loaded = [f.result() for f in loads]
-
-    # phase 2: dispatch projection + features + pair step for all datasets
-    staged = []
-    for (batch, valid, focals, shape, host_imgs) in loaded:
-        cyl = cylindrical_project_batch(batch, tuple(focals))
-        feats = extract_features(cyl, cfg)
-        xy, descs, valid_kp, meta, stats = feats
-        pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
-        staged.append((cyl, valid, shape, feats, pair_out, host_imgs, focals))
+        loads = {
+            pool.submit(load_dataset_device, f, with_host=True, gray=gray): i
+            for i, f in enumerate(folders)
+        }
+        for fut in cf.as_completed(loads):
+            i = loads[fut]
+            batch, valid, focals, shape, host_imgs = fut.result()
+            cyl = cylindrical_project_batch(batch, tuple(focals))
+            feats = extract_features(cyl, cfg)
+            xy, descs, valid_kp, meta, stats = feats
+            pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
+            staged_by_idx[i] = (
+                cyl, valid, shape, feats, pair_out, host_imgs, focals
+            )
+    staged = [staged_by_idx[i] for i in range(len(folders))]
 
     # phase 3+4: finalize each dataset in order (first pull syncs that
     # dataset only; later datasets keep computing behind it)
