@@ -142,3 +142,25 @@ def test_load_dataset_device_grouped(tmp_path):
     np.testing.assert_array_equal(
         np.concatenate([np.asarray(b) for b in batches]), np.asarray(mono)
     )
+
+
+def test_gray_group_upload_equals_single_stack(monkeypatch):
+    """VFX_GRAY_GROUP_UPLOAD=1 produces identical per-group gray batches."""
+    import numpy as np
+
+    from vfx_image_stitching_tpu.io import load_dataset_device_split
+
+    folder = "/root/reference/parrington"
+    if not os.path.isdir(folder):
+        import pytest
+
+        pytest.skip("reference datasets unavailable")
+    monkeypatch.setenv("VFX_GRAY_GROUP_UPLOAD", "0")  # single-stack leg
+    base = load_dataset_device_split(folder, upload_rgb=False)
+    monkeypatch.setenv("VFX_GRAY_GROUP_UPLOAD", "1")
+    eager = load_dataset_device_split(folder, upload_rgb=False)
+    assert len(base[0]) == len(eager[0])
+    for a, b in zip(base[0], eager[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert list(base[2]) == list(eager[2])  # valid masks
+    assert base[3] == eager[3]              # focals

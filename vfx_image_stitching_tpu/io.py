@@ -308,9 +308,28 @@ def load_dataset_device_split(
     import concurrent.futures as cf
 
     n = len(resolved)
+    g = pick_group_size(n, group_target)
+    group_upload = os.environ.get("VFX_GRAY_GROUP_UPLOAD", "1") == "1"
     gray_imgs: List[Optional[np.ndarray]] = [None] * n
     host_imgs: List[Optional[np.ndarray]] = [None] * n
     shapes = [None] * n
+    n_groups = -(-n // g)
+    remaining = [min((k + 1) * g, n) - k * g for k in range(n_groups)]
+    group_dev: List[Optional[object]] = [None] * n_groups
+
+    def _try_put_group(k, ref_shape):
+        """Upload group k eagerly if complete and shape-consistent."""
+        lo, hi = k * g, min((k + 1) * g, n)
+        grp = []
+        for i in range(lo, hi):
+            if gray_imgs[i] is not None:
+                if shapes[i] != ref_shape:
+                    return  # defer: canonical mixed-shape error later
+                grp.append(gray_imgs[i])
+            else:
+                grp.append(np.zeros(ref_shape[:2], np.uint8))
+        group_dev[k] = jax.device_put(np.stack(grp))
+
     with cf.ThreadPoolExecutor(max_workers=min(8, n)) as pool:
         futs = {pool.submit(load_bgr, p): i for i, p in enumerate(resolved)}
         for fut in cf.as_completed(futs):
@@ -320,15 +339,32 @@ def load_dataset_device_split(
                 shapes[i] = img.shape
                 gray_imgs[i] = bgr_to_gray_u8_np(img)
                 host_imgs[i] = img
+            if group_upload:
+                remaining[i // g] -= 1
+                ref = next((s for s in shapes if s is not None), None)
+                if remaining[i // g] == 0 and ref is not None:
+                    _try_put_group(i // g, ref)
     shape, valid = _validate_decoded(shapes)
     for i in range(n):
         if gray_imgs[i] is None:
             gray_imgs[i] = np.zeros(shape[:2], np.uint8)
-    # ONE gray upload for the whole dataset (per-transfer overhead on
-    # the tunneled link outweighs per-image overlap for 0.2 MB grays;
-    # measured r3), sliced per group on device; RGB uploads follow
-    # per image and are consumed only at compose time
-    gray_stack = jax.device_put(np.stack(gray_imgs))
+    # Default (VFX_GRAY_GROUP_UPLOAD=1, A/B'd on chip: 0.825 vs 0.866 s
+    # medians interleaved): upload each GROUP's stack the moment its
+    # images decode, so the first extract starts before later decodes
+    # finish (3 transfers for 18 images).  VFX_GRAY_GROUP_UPLOAD=0
+    # restores the single whole-dataset upload (18 per-IMAGE transfers
+    # had lost to it on this link, measured r3 — per-group is the
+    # middle ground that wins).  RGB uploads follow and are consumed
+    # only at compose time.
+    if group_upload:
+        ref = shape
+        for k in range(n_groups):
+            if group_dev[k] is None:  # deferred or shape-deferred group
+                _try_put_group(k, ref)
+        gray_batches_eager = [group_dev[k] for k in range(n_groups)]
+        gray_stack = None
+    else:
+        gray_stack = jax.device_put(np.stack(gray_imgs))
     rgb_imgs: List[Optional[object]] = [None] * n
     if upload_rgb:
         zero_rgb = None
@@ -340,8 +376,10 @@ def load_dataset_device_split(
                     zero_rgb = jnp.zeros(shape, jnp.uint8)
                 rgb_imgs[i] = zero_rgb
 
-    g = pick_group_size(n, group_target)
-    gray_batches = [gray_stack[a : a + g] for a in range(0, n, g)]
+    if group_upload:
+        gray_batches = gray_batches_eager
+    else:
+        gray_batches = [gray_stack[a : a + g] for a in range(0, n, g)]
     return gray_batches, rgb_imgs, valid, focals, shape, host_imgs
 
 
