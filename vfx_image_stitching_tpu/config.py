@@ -67,7 +67,11 @@ class SiftCapacities:
     # half_width is data dependent; audit max is 41, p99 is 38).
     max_half_width: int = 44
     # GEMM chunk for the descriptor one-hot contraction (memory knob).
-    desc_chunk: int = 128
+    # 64 measured fastest on-chip under the r3 code (paired window
+    # gathers + live-bounded chunk skipping): walls 0.654/0.681/0.702
+    # for 64/128/256, 5/6 interleaved rounds (docs/AB_DESC_CHUNK_r3c.log;
+    # r2 had measured 64 == 128 on the older shape).
+    desc_chunk: int = 64
     # Size-bucketed descriptor windows: keypoints with half-width <=
     # desc_small_half take a small-window pass (57^2 samples instead of
     # 89^2).  Group caps audited per octave over all datasets
