@@ -7,7 +7,9 @@ extractor skipped all-filler capacity chunks with per-chunk
 ``lax.cond``s, which vmap rewrites into selects (both branches
 execute) — measured 7.2x per pano here.  The live-bounded
 ``fori_loop`` restructure (models/sift/chunking.py) survives vmap as
-a while with batch-max trip count, cutting it to 4.0x; the residual
+a while with batch-max trip count; under the final r3 code the
+captured penalty is **1.96x** (docs/MESH_COST_r03.json — was 4.0x
+mid-restructure, 7.2x with cond-based skipping); the residual
 penalty is the per-octave gradient-fields cond + extrema work.  This
 script times, on the virtual 8-device CPU mesh with the dryrun-grade
 small SIFT config:

@@ -140,8 +140,9 @@ def _multi_pano_full_step(batch: jnp.ndarray, cfg: StitchConfig):
     # while whose trip count is the batch MAX live-chunk count — panos
     # pay max(live), not worst-case capacity.  The residual vmap cost is
     # the per-octave gradient-fields lax.cond (rewritten into a select)
-    # plus extrema work; measured 4.0x per pano on the 8-dev CPU mesh
-    # (was 7.2x with cond-based skipping — scripts/mesh_cost.py).
+    # plus extrema work; measured 1.96x per pano on the 8-dev CPU mesh
+    # (was 7.2x with cond-based skipping — scripts/mesh_cost.py,
+    # captured in docs/MESH_COST_r03.json).
     return jax.vmap(lambda b: _full_shift_step(b, cfg))(batch)
 
 
