@@ -171,3 +171,94 @@ def test_unpack_octave_roundtrip():
     assert float(scale[0]) == 1.0
     assert int(octv[1]) == -1 and int(layer[1]) == 1
     assert float(scale[1]) == 2.0
+
+
+@requires_reference
+def test_localize_split_matches_plain(crop_gray):
+    """Split-mover localization must equal the plain path on every
+    valid row: mask + integer fields + positions bit-exact; ``size``
+    may drift by <= 4 ulp because the two jit graphs compile ``exp2``
+    with different fusion (measured max 2 ulp; all other floats are
+    bit-equal).  End-to-end keypoints/descriptors are compared under
+    the same contract."""
+    import dataclasses
+
+    from vfx_image_stitching_tpu.models.sift.extract import (
+        sift_keypoints_and_descriptors,
+    )
+    from vfx_image_stitching_tpu.models.sift.pyramid import (
+        generate_base_image, compute_number_of_octaves,
+        generate_gaussian_kernels, generate_gaussian_images,
+        generate_dog_images,
+    )
+    from vfx_image_stitching_tpu.models.sift.extrema import (
+        extrema_threshold, extract_candidates,
+    )
+    from vfx_image_stitching_tpu.models.sift.localize import (
+        localize_candidates_chunked, localize_candidates_split_chunked,
+    )
+
+    cfg = SiftConfig()
+    gray = jnp.asarray(crop_gray)
+    base = generate_base_image(gray, cfg.sigma, cfg.assumed_blur)
+    num_octaves = compute_number_of_octaves(base.shape)
+    kernels = generate_gaussian_kernels(cfg.sigma, cfg.num_intervals)
+    pyramid = generate_gaussian_images(base, num_octaves, kernels)
+    dogs = generate_dog_images(pyramid)
+    thresh = extrema_threshold(cfg.contrast_threshold, cfg.num_intervals)
+
+    for o in range(num_octaves):
+        dog = dogs[o]
+        h_o, w_o = dog.shape[-2:]
+        cap = min(cfg.capacities.scaled_candidates(o), 3 * h_o * w_o)
+        layer, y, x, cv = extract_candidates(
+            dog, cfg.image_border_width, thresh, cap
+        )
+        plain = localize_candidates_chunked(dog, layer, y, x, cv, o, cfg)
+        split = localize_candidates_split_chunked(
+            dog, layer, y, x, cv, o, cfg
+        )
+        vp = np.asarray(plain.valid)
+        vs = np.asarray(split.valid)
+        np.testing.assert_array_equal(vp, vs)
+        for name in plain._fields:
+            a = np.asarray(getattr(plain, name))[vp]
+            b = np.asarray(getattr(split, name))[vp]
+            if name == "size":
+                ulp = np.abs(
+                    a.view(np.int32).astype(np.int64)
+                    - b.view(np.int32).astype(np.int64)
+                )
+                assert ulp.max(initial=0) <= 4, f"octave {o} size ulp {ulp.max()}"
+            else:
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"octave {o} {name}"
+                )
+
+    # End-to-end: the split path's final keypoints must match the plain
+    # path's under the PARITY.md deviation-1 tolerance — positions and
+    # integer fields exact, float fields within a few ulp, descriptors
+    # within +-1 on a vanishing fraction of entries (the exp2 graph
+    # noise in `size` can flip a bin value sitting exactly on the
+    # 0.5/512 rounding boundary; measured: 1 of 10240 entries).
+    cfg_split = dataclasses.replace(cfg, localize_split=True)
+    run = jax.jit(sift_keypoints_and_descriptors, static_argnames=("cfg",))
+    kp_a, d_a, _ = run(gray, cfg)
+    kp_b, d_b, _ = run(gray, cfg_split)
+    va, vb = np.asarray(kp_a.valid), np.asarray(kp_b.valid)
+    np.testing.assert_array_equal(va, vb)
+    d_a_, d_b_ = np.asarray(d_a)[va], np.asarray(d_b)[va]
+    diff = d_a_ != d_b_
+    assert np.abs(d_a_ - d_b_).max(initial=0) <= 1
+    assert diff.mean() <= 1e-3, f"desc diff fraction {diff.mean()}"
+    for name in ("x", "y", "octave"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(kp_a, name))[va],
+            np.asarray(getattr(kp_b, name))[va], err_msg=name,
+        )
+    for name in ("size", "angle", "response"):
+        a = np.asarray(getattr(kp_a, name))[va]
+        b = np.asarray(getattr(kp_b, name))[va]
+        ulp = np.abs(a.view(np.int32).astype(np.int64)
+                     - b.view(np.int32).astype(np.int64))
+        assert ulp.max(initial=0) <= 4, f"{name} ulp {ulp.max()}"

@@ -145,6 +145,13 @@ class SiftConfig:
     # (per-keypoint DMA windows + on-chip reduction); the XLA path is the
     # reference fallback and what CPU tests exercise.
     use_pallas: bool = False
+    # Newton localization with mover compaction after iteration 1
+    # (localize.localize_candidates_split_chunked): 75% of candidates
+    # converge/reject at iteration 1 (docs/DEVNOTES.md fused-attribution
+    # entry), so iterations 2-5 run only over the compacted movers.
+    # Bit-identical outputs (tests/test_sift.py pins equality);
+    # VFX_LOCALIZE_SPLIT=0/1 overrides at the pipeline entry.
+    localize_split: bool = False
 
     @property
     def images_per_octave(self) -> int:

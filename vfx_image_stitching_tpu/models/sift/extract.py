@@ -33,6 +33,7 @@ from vfx_image_stitching_tpu.models.sift.extrema import (
 )
 from vfx_image_stitching_tpu.models.sift.localize import (
     localize_candidates_chunked,
+    localize_candidates_split_chunked,
     compact_localized,
 )
 from vfx_image_stitching_tpu.models.sift.orientation import (
@@ -87,7 +88,11 @@ def sift_keypoints_and_descriptors(
         layer, y, x, cand_valid = extract_candidates(
             dog, cfg.image_border_width, thresh, cand_cap
         )
-        loc = localize_candidates_chunked(dog, layer, y, x, cand_valid, o, cfg)
+        localize = (
+            localize_candidates_split_chunked
+            if cfg.localize_split else localize_candidates_chunked
+        )
+        loc = localize(dog, layer, y, x, cand_valid, o, cfg)
         loc_cap = min(caps.scaled_localized(o), cand_cap)
         loc_counts.append(jnp.sum(loc.valid))
         loc_caps.append(loc_cap)

@@ -112,20 +112,27 @@ def _solve3(h, g):
     )
 
 
-def localize_candidates(
-    dog: jnp.ndarray,
-    layer: jnp.ndarray,
-    y: jnp.ndarray,
-    x: jnp.ndarray,
-    cand_valid: jnp.ndarray,
-    octave: int,
-    cfg: SiftConfig,
-) -> Localized:
-    """Run the masked Newton loop for all candidates of one octave."""
+def _init_state(layer: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> dict:
+    """Fresh Newton state (a dict of (K,) lanes) at integer candidates."""
+    k = layer.shape[0]
+    zeros = jnp.zeros((k,), jnp.float32)
+    return dict(
+        x=x, y=y, l=layer,
+        cx=x, cy=y, cl=layer,
+        ux=zeros, uy=zeros, us=zeros,
+        gx=zeros, gy=zeros, gs=zeros,
+        dxx=zeros, dyy=zeros, dss=zeros, dxy=zeros, dxs=zeros, dys=zeros,
+        center=zeros,
+        converged=jnp.zeros((k,), bool),
+        rejected=jnp.zeros((k,), bool),
+    )
+
+
+def _make_newton_body(dog: jnp.ndarray, cfg: SiftConfig):
+    """One masked Newton iteration (fori_loop body) over a state dict."""
     h, w = dog.shape[-2:]
     hw = h * w
     border = cfg.image_border_width
-    k = layer.shape[0]
     dog_flat = dog.reshape(-1)
 
     import numpy as np
@@ -136,18 +143,6 @@ def localize_candidates(
         dtype=np.int32,
     )
     offsets = jnp.asarray(offs)
-
-    zeros = jnp.zeros((k,), jnp.float32)
-    state = dict(
-        x=x, y=y, l=layer,
-        cx=x, cy=y, cl=layer,
-        ux=zeros, uy=zeros, us=zeros,
-        gx=zeros, gy=zeros, gs=zeros,
-        dxx=zeros, dyy=zeros, dss=zeros, dxy=zeros, dxs=zeros, dys=zeros,
-        center=zeros,
-        converged=jnp.zeros((k,), bool),
-        rejected=jnp.zeros((k,), bool),
-    )
 
     def body(_t, st):
         active = ~(st["converged"] | st["rejected"])
@@ -194,8 +189,30 @@ def localize_candidates(
         out["l"] = jnp.where(moving, jnp.clip(nl, 1, cfg.num_intervals), st["l"])
         return out
 
-    st = jax.lax.fori_loop(0, cfg.max_localize_iters, body, state)
+    return body
 
+
+def localize_candidates(
+    dog: jnp.ndarray,
+    layer: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    octave: int,
+    cfg: SiftConfig,
+) -> Localized:
+    """Run the masked Newton loop for all candidates of one octave."""
+    body = _make_newton_body(dog, cfg)
+    st = jax.lax.fori_loop(
+        0, cfg.max_localize_iters, body, _init_state(layer, y, x)
+    )
+    return _finalize_localized(st, cand_valid, octave, cfg)
+
+
+def _finalize_localized(
+    st: dict, cand_valid: jnp.ndarray, octave: int, cfg: SiftConfig
+) -> Localized:
+    """Accept tests + output packing from a finished Newton state."""
     val = st["center"] + 0.5 * (
         st["gx"] * st["ux"] + st["gy"] * st["uy"] + st["gs"] * st["us"]
     )
@@ -303,3 +320,103 @@ def compact_localized(loc: Localized, out_capacity: int) -> Localized:
     order = jnp.argsort(rank)[:out_capacity]
     out = Localized(*[f[order] for f in loc])
     return out._replace(valid=loc.valid[order])
+
+
+def localize_candidates_split_chunked(
+    dog: jnp.ndarray,
+    layer: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    octave: int,
+    cfg: SiftConfig,
+    chunk: int = 512,
+) -> Localized:
+    """Newton localization with mover compaction after iteration 1.
+
+    The reference loop (sift_impl.py:175-195) runs up to 5 iterations,
+    but measured convergence is front-loaded: 75% of candidates
+    converge or reject at iteration 1 (host audit over parrington, see
+    docs/DEVNOTES.md "Fused-regime extractor attribution").  The masked
+    full-width loop in :func:`localize_candidates_chunked` still pays 5
+    full gathers + lane passes for them.
+
+    Here: iteration 1 runs over the live candidate chunks at full
+    width, then the still-ACTIVE rows ("movers") are compacted to the
+    front and the remaining ``max_localize_iters - 1`` iterations run
+    only over the live mover chunks (~4x fewer).  Per-row arithmetic is
+    identical — a converged/rejected row never changes state in the
+    masked loop, so skipping it is exact; the compaction permutation is
+    inverted before finalization, so row order (and therefore every
+    downstream tie-break) is preserved.  The valid mask and every field
+    of a valid row are bit-identical to the plain chunked path; only
+    the garbage content of cand_valid=False filler rows inside live
+    chunks differs (the plain path keeps iterating them, this one stops
+    after iteration 1 — they are masked everywhere downstream).  Rows
+    in dead candidate chunks are re-zeroed to match the plain path.
+    """
+    k = layer.shape[0]
+    if k <= chunk:
+        chunk = k
+    elif k % chunk:
+        import math
+
+        chunk = math.gcd(k, chunk) or k
+
+    from vfx_image_stitching_tpu.models.sift.chunking import (
+        chunked_live_loop,
+        index_chunk,
+        live_chunk_bound,
+    )
+
+    body = _make_newton_body(dog, cfg)
+    n_chunks = k // chunk
+    reshaped = (
+        layer.reshape(n_chunks, chunk), y.reshape(n_chunks, chunk),
+        x.reshape(n_chunks, chunk),
+    )
+    state_zeros = jax.tree.map(
+        lambda f: jnp.zeros((n_chunks,) + f.shape, f.dtype),
+        _init_state(layer[:chunk], y[:chunk], x[:chunk]),
+    )
+
+    def first_iter(i):
+        l_c, y_c, x_c = index_chunk(reshaped, i)
+        return body(0, _init_state(l_c, y_c, x_c))
+
+    n_live = live_chunk_bound(cand_valid, chunk)
+    st = chunked_live_loop(n_live, first_iter, state_zeros)
+    st = jax.tree.map(lambda f: f.reshape((k,) + f.shape[2:]), st)
+
+    # compact movers (still-active valid rows) to the front, original
+    # order preserved on both sides of the split.  Sort-free: cumsum
+    # destinations + one i32 scatter build the same stable permutation
+    # an argsort of the mover rank would (TPU sorts at K=4096 cost more
+    # than the Newton work this split saves — measured r3e).
+    mover = cand_valid & ~(st["converged"] | st["rejected"])
+    arange = jnp.arange(k, dtype=jnp.int32)
+    mov_i = mover.astype(jnp.int32)
+    n_mov = jnp.sum(mov_i)
+    pos_m = jnp.cumsum(mov_i) - 1          # slot among movers
+    pos_n = arange - pos_m - 1             # slot among non-movers
+    dest = jnp.where(mover, pos_m, n_mov + pos_n)   # row i -> slot dest[i]
+    order = jnp.zeros((k,), jnp.int32).at[dest].set(arange)
+    st_p = jax.tree.map(lambda f: f[order], st)
+    st_p = jax.tree.map(lambda f: f.reshape((n_chunks, chunk)), st_p)
+
+    def rest_iters(i):
+        return jax.lax.fori_loop(
+            0, cfg.max_localize_iters - 1, body, index_chunk(st_p, i)
+        )
+
+    st_b = chunked_live_loop((n_mov + chunk - 1) // chunk, rest_iters, st_p)
+
+    # dest is the inverse permutation of order: unpermute by gathering
+    st = jax.tree.map(lambda f: f.reshape((k,))[dest], st_b)
+    out = _finalize_localized(st, cand_valid, octave, cfg)
+    # dead candidate chunks were never processed in the plain path —
+    # zero them so both paths are bit-identical in every row
+    in_live = arange < n_live * chunk
+    return Localized(*[
+        jnp.where(in_live, f, jnp.zeros_like(f)) for f in out
+    ])

@@ -336,6 +336,13 @@ def _resolve_cfg(backend: str, cfg: Optional[StitchConfig]) -> StitchConfig:
     cfg = cfg or StitchConfig(backend=backend)
     if cfg.backend != backend:
         cfg = dataclasses.replace(cfg, backend=backend)
+    split_env = os.environ.get("VFX_LOCALIZE_SPLIT")
+    if split_env is not None and (split_env == "1") != cfg.sift.localize_split:
+        cfg = dataclasses.replace(
+            cfg, sift=dataclasses.replace(
+                cfg.sift, localize_split=split_env == "1"
+            )
+        )
     if os.environ.get("VFX_USE_PALLAS") == "1":
         # chip runs opt in via env; the Pallas window gather rides along
         # (docs/CHIP_AB_R3B.json: best config -0.11 s median vs base,
