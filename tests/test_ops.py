@@ -140,3 +140,48 @@ def test_downsample2x_matches_cv2():
     ours = np.asarray(downsample2x_nearest(jnp.asarray(x)))
     theirs = cv2.resize(x, (7, 5), interpolation=cv2.INTER_NEAREST)
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_reflect101_pad_matches_jnp_pad():
+    """The concat-of-flips fast path must equal jnp.pad(mode='reflect')
+    element-for-element, on both axes, including the pad >= dim
+    multi-reflection fallback."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vfx_image_stitching_tpu.ops.gaussian import _reflect101_pad
+
+    rng = np.random.default_rng(0)
+    for n_r, n_c in ((7, 9), (3, 4), (16, 5)):
+        x = jnp.asarray(rng.random((n_r, n_c)).astype(np.float32))
+        for axis in (0, 1):
+            n = x.shape[axis]
+            for pad in (1, 2, n - 1, n, n + 3):
+                cfg = [(0, 0), (0, 0)]
+                cfg[axis] = (pad, pad)
+                want = jnp.pad(x, cfg, mode="reflect")
+                got = _reflect101_pad(x, pad, axis)
+                np.testing.assert_array_equal(
+                    np.asarray(got), np.asarray(want),
+                    err_msg=f"axis={axis} pad={pad} shape={x.shape}",
+                )
+
+
+def test_edge_pad_axis_matches_jnp_pad():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vfx_image_stitching_tpu.ops.gaussian import edge_pad_axis
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((5, 7)).astype(np.float32))
+    for axis in (0, 1):
+        for pad in (0, 1, 3, 8):
+            cfg = [(0, 0), (0, 0)]
+            cfg[axis] = (pad, pad)
+            want = jnp.pad(x, cfg, mode="edge")
+            got = edge_pad_axis(x, pad, axis)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want),
+                err_msg=f"axis={axis} pad={pad}",
+            )

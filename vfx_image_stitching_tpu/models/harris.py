@@ -78,7 +78,9 @@ def _descriptor_patches(
     field: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray, pad: int, size: int
 ) -> jnp.ndarray:
     """Gather (K, size, size) patches anchored at rows/cols [p, p+size)."""
-    padded = jnp.pad(field, pad, mode="edge")
+    from vfx_image_stitching_tpu.ops.gaussian import edge_pad_axis
+
+    padded = edge_pad_axis(edge_pad_axis(field, pad, 0), pad, 1)
 
     def one(y, x):
         return jax.lax.dynamic_slice(padded, (y + pad, x + pad), (size, size))

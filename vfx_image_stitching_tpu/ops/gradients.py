@@ -30,8 +30,11 @@ def conv2d_edge(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     kernel = np.asarray(kernel, dtype=np.float32)
     m, n = kernel.shape
     h, w = img.shape[-2], img.shape[-1]
-    cfg = [(0, 0)] * (img.ndim - 2) + [(m // 2, m // 2), (n // 2, n // 2)]
-    pad = jnp.pad(jnp.asarray(img, jnp.float32), cfg, mode="edge")
+    from vfx_image_stitching_tpu.ops.gaussian import edge_pad_axis
+
+    pad = jnp.asarray(img, jnp.float32)
+    pad = edge_pad_axis(pad, m // 2, pad.ndim - 2)
+    pad = edge_pad_axis(pad, n // 2, pad.ndim - 1)
     out = None
     for i in range(m):
         for j in range(n):
