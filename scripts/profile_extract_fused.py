@@ -250,7 +250,8 @@ def main() -> None:
             "dataset": "parrington", "group": GROUP, "reps": REPS,
             "note": "fused-regime prefix ablation: each row jits the "
                     "pipeline through that stage inside one lax.map "
-                    "group; delta = that stage's fused cost",
+                    "group; delta = that stage's fused cost.  Deltas "
+                    "< ~1 ms/img are fusion-shift noise.",
             "rows": rows,
         }, f, indent=1)
     print(f"wrote {OUT}")

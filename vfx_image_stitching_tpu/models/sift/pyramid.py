@@ -65,7 +65,11 @@ def generate_gaussian_images(
     """Per-octave stacks [(…, 6, H_o, W_o)] (sift_impl.py:82-97 parity).
 
     Levels blur incrementally from the previous level; the next octave's
-    base is level[-3] downsampled 2x nearest.
+    base is level[-3] downsampled 2x nearest.  The tap-form blur is at
+    the measured device floor once the downsample's strided gather is
+    kept out of the blur fusion (see ops/resize.downsample2x_nearest) —
+    a Pallas slab kernel and a banded-matmul MXU blur both tied or lost
+    against it (docs/DEVNOTES.md r3 pyramid probes).
     """
     pyramid = []
     img = jnp.asarray(base, jnp.float32)
