@@ -55,24 +55,76 @@ def extract_candidates(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """First ``capacity`` extrema in (layer, y, x) row-major order.
 
-    Stream compaction via prefix-sum + vectorized binary search: the j-th
-    selected index is ``searchsorted(cumsum(mask), j+1)``.  This is
-    O(N) bandwidth + O(K log N) gathers — far cheaper than a top-k/sort
-    over the multi-megapixel mask, and yields the exact row-major order
-    the reference's triple loop visits candidates in.
+    Two-level stream compaction.  A flat ``searchsorted(cumsum(mask),
+    j+1)`` is O(N) scan + O(K log N) *random HBM gathers* over the
+    multi-megapixel cumsum (measured 0.86 ms search + 0.34 ms cumsum per
+    image on chip); splitting the domain into S-wide blocks replaces it
+    with a per-block count reduction (one N-byte pass), a cumsum + binary
+    search over the tiny B=N/S block array (VMEM-resident), and a
+    *contiguous* (K, S) row gather whose per-row prefix sum locates the
+    within-block bit.  The selected index of target t is identical by
+    construction: block b = first block whose inclusive count-cumsum
+    reaches t, position p = first column where the row's inclusive
+    cumsum reaches t's within-block residual — exactly the t-th set bit
+    overall, so the (layer, y, x) row-major visit order of the
+    reference's triple loop (sift_impl.py:117-140) is preserved bit-for-
+    bit.  Set VFX_EXTREMA_TWOLEVEL=0 for the flat searchsorted path.
 
     Returns (layer, y, x, valid), each (capacity,).
     """
+    import os
+
     h, w = dog.shape[-2:]
     mask = extrema_mask(dog, border, threshold).reshape(-1)
-    csum = jnp.cumsum(mask.astype(jnp.int32))
-    total = csum[-1]
     targets = jnp.arange(1, capacity + 1, dtype=jnp.int32)
-    sel = jnp.searchsorted(csum, targets, side="left").astype(jnp.int32)
-    valid = targets <= total
-    sel = jnp.where(valid, sel, 0)
+    if os.environ.get("VFX_EXTREMA_TWOLEVEL", "1") == "1":
+        sel, valid = _select_nth_set_bits_twolevel(mask, targets)
+    else:
+        sel, valid = _select_nth_set_bits_flat(mask, targets)
     i = sel // (h * w)
     rem = sel % (h * w)
     return (i + 1).astype(jnp.int32), (rem // w).astype(jnp.int32), (
         rem % w
     ).astype(jnp.int32), valid
+
+
+def _select_nth_set_bits_flat(
+    mask: jnp.ndarray, targets: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flat-cumsum reference path: position of the t-th set bit."""
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    total = csum[-1]
+    sel = jnp.searchsorted(csum, targets, side="left").astype(jnp.int32)
+    valid = targets <= total
+    return jnp.where(valid, sel, 0), valid
+
+
+def _select_nth_set_bits_twolevel(
+    mask: jnp.ndarray, targets: jnp.ndarray, block: int = 128
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-level t-th-set-bit selection (see extract_candidates)."""
+    n = mask.shape[0]
+    nb = -(-n // block)
+    mask_u8 = mask.astype(jnp.uint8)
+    if nb * block != n:
+        mask_u8 = jnp.concatenate(
+            [mask_u8, jnp.zeros((nb * block - n,), jnp.uint8)]
+        )
+    blocks = mask_u8.reshape(nb, block)
+    bcsum = jnp.cumsum(blocks.sum(axis=1, dtype=jnp.int32))
+    total = bcsum[-1]
+    # level 1: block of the t-th set bit (first b with bcsum[b] >= t);
+    # unrolled binary search over the small VMEM-resident block cumsum
+    b = jnp.searchsorted(
+        bcsum, targets, side="left", method="scan_unrolled"
+    ).astype(jnp.int32)
+    b_safe = jnp.minimum(b, nb - 1)
+    prev = jnp.where(b_safe > 0, bcsum[jnp.maximum(b_safe - 1, 0)], 0)
+    residual = targets - prev  # 1-based count within the block
+    # level 2: contiguous row gather + within-row prefix sum
+    rows = blocks[b_safe].astype(jnp.int32)  # (K, S)
+    rcsum = jnp.cumsum(rows, axis=1)
+    pos = jnp.argmax(rcsum >= residual[:, None], axis=1).astype(jnp.int32)
+    sel = b_safe * block + pos
+    valid = targets <= total
+    return jnp.where(valid, sel, 0), valid

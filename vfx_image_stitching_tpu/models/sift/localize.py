@@ -63,6 +63,28 @@ def _cube_gather(dog_flat: jnp.ndarray, offsets: jnp.ndarray,
     return dog_flat[idx]                    # (27, K)
 
 
+def _cube_gather_slices(dog: jnp.ndarray, l: jnp.ndarray, y: jnp.ndarray,
+                        x: jnp.ndarray) -> jnp.ndarray:
+    """(27, K) cube via K (1,3,3)-slice gathers instead of 27K scalars.
+
+    Same elements as :func:`_cube_gather` for interior indices (l in
+    [1, 3], y in [1, h-2], x in [1, w-2]; filler rows differ — lax.gather
+    clamps, flat indexing wraps — but they are cand_valid=False and
+    masked downstream).  REFUTED on chip: 27.97 vs 5.45 ms/img on the
+    fused localize prefix (5/5 interleaved rounds, docs/DEVNOTES.md) —
+    TPU gather of many tiny multi-dim slices is ~5x slower than the
+    flat scalar gather, not faster.  Kept for the record behind
+    VFX_CUBE_SLICE_GATHER=1.
+    """
+    starts = jnp.stack([l - 1, y - 1, x - 1], axis=-1)       # (K, 3)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2),
+    )
+    out = jax.lax.gather(dog, starts, dn, slice_sizes=(3, 3, 3))
+    return out.reshape(out.shape[0], 27).T                   # (27, K)
+
+
 def _derivatives(cube: jnp.ndarray):
     """Gradient (3 lanes) and Hessian (6 unique lanes) from a (27, K) cube.
 
@@ -144,9 +166,18 @@ def _make_newton_body(dog: jnp.ndarray, cfg: SiftConfig):
     )
     offsets = jnp.asarray(offs)
 
+    import os
+
+    slice_gather = os.environ.get("VFX_CUBE_SLICE_GATHER", "0") == "1"
+
     def body(_t, st):
         active = ~(st["converged"] | st["rejected"])
-        cube = _cube_gather(dog_flat, offsets, st["l"], st["y"], st["x"], w, hw)
+        if slice_gather:
+            cube = _cube_gather_slices(dog, st["l"], st["y"], st["x"])
+        else:
+            cube = _cube_gather(
+                dog_flat, offsets, st["l"], st["y"], st["x"], w, hw
+            )
         cube = cube.astype(jnp.float32) / 255.0
         (gx, gy, gs), hess, center = _derivatives(cube)
         ux, uy, us = _solve3(hess, (gx, gy, gs))

@@ -208,11 +208,18 @@ def assign_orientations(
     lyr = jnp.clip(loc.layer - layer_base, 0, mag_stack.shape[-3] - 1)
 
     if cfg.use_pallas:
-        from vfx_image_stitching_tpu.models.sift.pallas_kernels import (
-            orientation_histograms,
-        )
+        import os
 
-        raw = orientation_histograms(
+        from vfx_image_stitching_tpu.models.sift import pallas_kernels as pk
+
+        # v2 rolls the window into place before the 36-bin reduction
+        # (4x less VPU work, bit-equal); VFX_ORIENT_V2=0 restores v1
+        hist = (
+            pk.orientation_histograms_v2
+            if os.environ.get("VFX_ORIENT_V2", "1") == "1"
+            else pk.orientation_histograms
+        )
+        raw = hist(
             mag_stack, ang_stack, lyr, cy, cx, radius, weight_factor,
             loc.valid, half, h, w, nb,
         )

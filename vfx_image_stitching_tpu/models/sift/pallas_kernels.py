@@ -91,6 +91,154 @@ def _orientation_kernel(
     out_ref[pl.ds(jnp.mod(i, OUT_ROWS), 1), :] = row
 
 
+def _orientation_kernel_v2(
+    # scalar prefetch
+    r0_ref, c0_ref, layer_ref, roff_ref, coff_ref, cy_ref, cx_ref,
+    rad_ref, wf_ref, valid_ref,
+    # block-mapped inputs: 2x2 tiles of mag and ang
+    m00, m01, m10, m11, a00, a01, a10, a11,
+    # output
+    out_ref,
+    *, num_bins: int, h: int, w: int, s: int,
+):
+    """v2: roll the window into place FIRST, then histogram one tile.
+
+    v1 ran the 36-bin masked-reduction loop over all four (TILE_R,
+    TILE_C) tiles — 4x the VPU work actually needed.  Here the 2x2 tile
+    neighborhood is concatenated and rotated so the (s, s) window sits
+    at the origin (the `_pair_gather_kernel` move), and the mask /
+    weight / 36 masked sums run over the single (s, s) block.  Bit-
+    equal results: same samples, same per-bin add order within a tile
+    row-major scan (each window pixel contributes to exactly one bin).
+    """
+    i = pl.program_id(0)
+    ro = roff_ref[i]
+    co = coff_ref[i]
+    sy = r0_ref[i] * TILE_R + ro
+    sx = c0_ref[i] * TILE_C + co
+    cy = cy_ref[i]
+    cx = cx_ref[i]
+    rad = rad_ref[i]
+    wf = wf_ref[i]
+    ok = valid_ref[i] != 0
+
+    def gather(t00, t01, t10, t11):
+        top = jnp.concatenate([t00[0], t01[0]], axis=1)
+        bot = jnp.concatenate([t10[0], t11[0]], axis=1)
+        full = jnp.concatenate([top, bot], axis=0)     # (2R, 2C)
+        full = pltpu.roll(full, 2 * TILE_R - ro, 0)
+        full = pltpu.roll(full, 2 * TILE_C - co, 1)
+        return full[:s, :s]
+
+    magw = gather(m00, m01, m10, m11)
+    angw = gather(a00, a01, a10, a11)
+    rows = sy + jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = sx + jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    dy = rows - cy
+    dx = cols - cx
+    mask = (
+        (jnp.abs(dy) <= rad) & (jnp.abs(dx) <= rad)
+        & (rows >= 1) & (rows <= h - 2) & (cols >= 1) & (cols <= w - 2)
+        & ok
+    )
+    d2 = (dy * dy + dx * dx).astype(jnp.float32)
+    contrib = jnp.where(mask, jnp.exp(wf * d2) * magw, 0.0)
+    bins = jnp.mod(
+        jnp.rint(angw * (num_bins / 360.0)).astype(jnp.int32), num_bins
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, OUT_LANES), 1)
+    row = jnp.zeros((1, OUT_LANES), jnp.float32)
+    for b in range(num_bins):
+        sb = jnp.sum(jnp.where(bins == b, contrib, 0.0))
+        row = jnp.where(lane == b, sb, row)
+    out_ref[pl.ds(jnp.mod(i, OUT_ROWS), 1), :] = row
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("half", "num_bins", "img_h", "img_w", "interpret"),
+)
+def orientation_histograms_v2(
+    mag_stack: jnp.ndarray,
+    ang_stack: jnp.ndarray,
+    layer: jnp.ndarray,
+    cy: jnp.ndarray,
+    cx: jnp.ndarray,
+    radius: jnp.ndarray,
+    weight_factor: jnp.ndarray,
+    valid: jnp.ndarray,
+    half: int,
+    img_h: int,
+    img_w: int,
+    num_bins: int = 36,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(K, num_bins) raw orientation histograms — roll-into-place kernel."""
+    assert 2 * half + 1 <= TILE_R + 1, half
+    s = 2 * half + 1
+    k = layer.shape[0]
+    pad = (-k) % OUT_ROWS
+    if pad:
+        (layer, cy, cx, radius, weight_factor, valid) = (
+            jnp.pad(a, (0, pad))
+            for a in (layer, cy, cx, radius, weight_factor, valid)
+        )
+    kp = layer.shape[0]
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    hs, ws = mag_stack.shape[-2:]
+    ph = (-hs) % TILE_R + TILE_R
+    pw = (-ws) % TILE_C + TILE_C
+    if ph or pw:
+        cfgp = [(0, 0), (0, ph), (0, pw)]
+        mag_stack = jnp.pad(mag_stack, cfgp)
+        ang_stack = jnp.pad(ang_stack, cfgp)
+
+    # same clamped starts as v1 — masks come from absolute coords
+    sy = jnp.clip(cy - half, 0, hs - 1).astype(jnp.int32)
+    sx = jnp.clip(cx - half, 0, ws - 1).astype(jnp.int32)
+    r0 = sy // TILE_R
+    c0 = sx // TILE_C
+    roff = sy - r0 * TILE_R
+    coff = sx - c0 * TILE_C
+
+    def tile_spec(tr, tc):
+        return pl.BlockSpec(
+            (1, TILE_R, TILE_C),
+            lambda i, r0_ref, c0_ref, layer_ref, *_: (
+                layer_ref[i], r0_ref[i] + tr, c0_ref[i] + tc
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=10,
+        grid=(kp,),
+        in_specs=[tile_spec(tr, tc) for tr in (0, 1) for tc in (0, 1)] * 2,
+        out_specs=pl.BlockSpec(
+            (OUT_ROWS, OUT_LANES),
+            lambda i, *_: (i // OUT_ROWS, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(
+        _orientation_kernel_v2, num_bins=num_bins, h=img_h, w=img_w, s=s
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((kp, OUT_LANES), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        r0, c0, layer.astype(jnp.int32), roff, coff,
+        cy.astype(jnp.int32), cx.astype(jnp.int32), radius.astype(jnp.int32),
+        weight_factor.astype(jnp.float32), valid.astype(jnp.int32),
+        *([mag_stack.astype(jnp.float32)] * 4),
+        *([ang_stack.astype(jnp.float32)] * 4),
+    )
+    return out[:k, :num_bins]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("half", "num_bins", "img_h", "img_w", "interpret"),
