@@ -132,7 +132,7 @@ def load_dataset(
 
 def load_dataset_device(
     folder: str, pano_file: Optional[str] = None, with_host: bool = False,
-    gray: bool = False,
+    gray: bool = False, host_project: bool = False,
 ):
     """Load a dataset straight onto the device, overlapping decode with
     transfer.
@@ -164,7 +164,8 @@ def load_dataset_device(
     resolved = [resolve_image_path(p, folder) for p in img_paths]
 
     device_imgs, host_imgs, valid, shape = _decode_upload(
-        resolved, with_host, gray=gray
+        resolved, with_host, gray=gray,
+        project_focals=focals if (gray and host_project) else None,
     )
     batch = jnp.stack(device_imgs)
     if with_host:
@@ -187,8 +188,17 @@ def _validate_decoded(shapes: List[Optional[tuple]]):
     return next(iter(shape_set)), np.array([s is not None for s in shapes])
 
 
-def _decode_upload(resolved: List[str], with_host: bool, gray: bool = False):
-    """Threaded JPEG decode with per-image async device_put."""
+def _decode_upload(resolved: List[str], with_host: bool, gray: bool = False,
+                   project_focals: Optional[List[float]] = None):
+    """Threaded JPEG decode with per-image async device_put.
+
+    With ``project_focals`` (gray mode only) each gray image is
+    additionally cylindrically projected ON HOST before upload — the
+    fixed-point gray conversion and the index-map gather are both
+    per-pixel, so host projection is bit-identical to projecting on
+    device while saving the device gather (~2 ms/img of gather-rate-
+    bound device time, see geometry/cylindrical.py).
+    """
     import concurrent.futures as cf
 
     import jax
@@ -196,6 +206,10 @@ def _decode_upload(resolved: List[str], with_host: bool, gray: bool = False):
 
     if gray:
         from vfx_image_stitching_tpu.ops.color import bgr_to_gray_u8_np
+    if project_focals is not None:
+        from vfx_image_stitching_tpu.geometry.cylindrical import (
+            cylindrical_project_host,
+        )
 
     n = len(resolved)
     device_imgs: List[Optional[object]] = [None] * n
@@ -208,9 +222,12 @@ def _decode_upload(resolved: List[str], with_host: bool, gray: bool = False):
             img = fut.result()
             if img is not None:
                 shapes[i] = img.shape
-                device_imgs[i] = jax.device_put(
-                    bgr_to_gray_u8_np(img) if gray else img
-                )  # async transfer
+                up = bgr_to_gray_u8_np(img) if gray else img
+                if project_focals is not None:
+                    up = cylindrical_project_host(
+                        up, float(project_focals[i])
+                    )
+                device_imgs[i] = jax.device_put(up)  # async transfer
                 if with_host:
                     host_imgs[i] = img
 
@@ -273,7 +290,7 @@ def load_dataset_device_grouped(
 
 def load_dataset_device_split(
     folder: str, pano_file: Optional[str] = None, group_target: int = 6,
-    upload_rgb: bool = True,
+    upload_rgb: bool = True, host_project: bool = False,
 ):
     """Gray-first grouped loader: only gray rides the critical path.
 
@@ -337,7 +354,16 @@ def load_dataset_device_split(
             img = fut.result()
             if img is not None:
                 shapes[i] = img.shape
-                gray_imgs[i] = bgr_to_gray_u8_np(img)
+                g_i = bgr_to_gray_u8_np(img)
+                if host_project:
+                    # bit-identical to the device gather; saves ~2 ms/img
+                    # of gather-rate-bound device time (see _decode_upload)
+                    from vfx_image_stitching_tpu.geometry.cylindrical import (
+                        cylindrical_project_host,
+                    )
+
+                    g_i = cylindrical_project_host(g_i, float(focals[i]))
+                gray_imgs[i] = g_i
                 host_imgs[i] = img
             if group_upload:
                 remaining[i // g] -= 1

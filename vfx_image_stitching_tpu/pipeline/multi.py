@@ -81,16 +81,21 @@ def stitch_many(
     # compose (the default, docs/CHIP_AB_R3C.json) only 1 byte/px grays
     # go up — the compose source is rebuilt on host from host_imgs.
     gray = os.environ.get("VFX_HOST_COMPOSE", "1") == "1"
+    host_project = gray and os.environ.get("VFX_HOST_PROJECT", "1") == "1"
     staged_by_idx: Dict[int, tuple] = {}
     with cf.ThreadPoolExecutor(max_workers=max(1, len(folders))) as pool:
         loads = {
-            pool.submit(load_dataset_device, f, with_host=True, gray=gray): i
+            pool.submit(load_dataset_device, f, with_host=True, gray=gray,
+                        host_project=host_project): i
             for i, f in enumerate(folders)
         }
         for fut in cf.as_completed(loads):
             i = loads[fut]
             batch, valid, focals, shape, host_imgs = fut.result()
-            cyl = cylindrical_project_batch(batch, tuple(focals))
+            cyl = (
+                batch if host_project  # loader projected on host
+                else cylindrical_project_batch(batch, tuple(focals))
+            )
             feats = extract_features(cyl, cfg)
             xy, descs, valid_kp, meta, stats = feats
             pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)

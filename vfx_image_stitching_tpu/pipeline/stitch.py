@@ -450,6 +450,7 @@ def finalize_pairwise_shifts(
     host_images: Optional[Sequence] = None,
     focals: Optional[Sequence[float]] = None,
     timings_out: Optional[dict] = None,
+    pre_escalate_cb=None,
 ) -> Tuple[List[Tuple[float, float]], List[Optional[tuple]], np.ndarray]:
     """Pull pair results, warn on capacity hits, escalate knife edges.
 
@@ -458,6 +459,13 @@ def finalize_pairwise_shifts(
     for extract + pair compute and the tunneled transfer) and
     ``escalate_s`` (host strict re-decisions incl. the escalation-input
     bundle pull).
+
+    ``pre_escalate_cb(shifts_np, pa_np, pb_np, any_np)`` — when given —
+    fires with COPIES of the pre-escalation device decisions just before
+    the (host, tens-of-ms) escalation loop starts, so a caller can
+    speculatively begin composing while escalation re-derives the rare
+    knife-edge pairs (finalize_to_panorama overlaps the host compose
+    fold this way; escalation almost always confirms the device result).
     """
     mcfg = cfg.match()
     (
@@ -588,6 +596,10 @@ def finalize_pairwise_shifts(
     # re-decided on host with reference-exact arithmetic + an f64 re-vote.
     # The inputs were already pulled in the single bundle above.
     if esc_present and nmaterial_np.any():
+        if pre_escalate_cb is not None:
+            pre_escalate_cb(
+                shifts_np.copy(), pa_np.copy(), pb_np.copy(), any_np.copy()
+            )
         _te0 = time.time()
         from vfx_image_stitching_tpu.models.sift.strict import escalate_pair
 
@@ -729,9 +741,23 @@ def finalize_pairwise_shifts(
         if timings_out is not None:
             timings_out["escalate_s"] = time.time() - _te0
 
+    shifts, pairs = _lists_from_arrays(
+        shifts_np, pa_np, pb_np, any_np, valid, int(cyl.shape[0])
+    )
+    return shifts, pairs, counts
+
+
+def _lists_from_arrays(
+    shifts_np, pa_np, pb_np, any_np, valid: Sequence[bool], n: int
+) -> Tuple[List[Tuple[float, float]], List[Optional[tuple]]]:
+    """Reference-shaped (shifts, pairs) lists from the bundle arrays.
+
+    Degraded entries follow image_stitching_harris.py:479-482: an
+    invalid image yields ((0,0), dummy pair); no match yields ((0,0),
+    None).
+    """
     shifts: List[Tuple[float, float]] = []
     pairs: List[Optional[tuple]] = []
-    n = cyl.shape[0]
     for i in range(n - 1):
         if not (valid[i] and valid[i + 1]):
             shifts.append((0.0, 0.0))
@@ -747,7 +773,7 @@ def finalize_pairwise_shifts(
                     (float(pb_np[i, 0]), float(pb_np[i, 1])),
                 )
             )
-    return shifts, pairs, counts
+    return shifts, pairs
 
 
 @dataclasses.dataclass
@@ -829,9 +855,56 @@ def finalize_to_panorama(
             if valid[i]
         }
         _pool.shutdown(wait=False)
+
+    # Speculative compose: the host fold needs only the shifts, and the
+    # escalation loop (tens of ms) almost always CONFIRMS the device
+    # decisions — so when escalation is about to run, a worker thread
+    # starts drift/plan/fold from the pre-escalation arrays in parallel.
+    # If escalation changes any pair (rare by construction), the
+    # speculative mosaic is discarded and the fold reruns serially.
+    spec: dict = {}
+    spec_enabled = (
+        host_compose and os.environ.get("VFX_SPEC_COMPOSE", "1") == "1"
+    )
+
+    def _pre_escalate(shifts_np, pa_np, pb_np, any_np):
+        if not spec_enabled:
+            return
+        import threading
+
+        from vfx_image_stitching_tpu.compose.host import (
+            compose_mosaic_host,
+            content_bounds_host,
+        )
+
+        def run():
+            try:
+                shifts_s, pairs_s = _lists_from_arrays(
+                    shifts_np, pa_np, pb_np, any_np, list(valid), n_imgs
+                )
+                corrected_s = correct_drift(shifts_s, n_images=n_imgs)
+                plan_s = plan_compose(
+                    h, w, n_imgs, list(valid), corrected_s, pairs_s
+                )
+                imgs_s = {i: f.result() for i, f in proj_futs.items()}
+                mosaic_s = compose_mosaic_host(imgs_s, plan_s)
+                bounds_s = content_bounds_host(mosaic_s, cfg.black_threshold)
+                spec.update(
+                    shifts=shifts_s, pairs=pairs_s, corrected=corrected_s,
+                    plan=plan_s, imgs=imgs_s, mosaic=mosaic_s,
+                    bounds=bounds_s,
+                )
+            except Exception as exc:  # pragma: no cover - spec is advisory
+                spec["err"] = exc
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        spec["thread"] = th
+
     shifts, pairs, counts = finalize_pairwise_shifts(
         cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
         host_images=host_images, focals=focals, timings_out=detail,
+        pre_escalate_cb=_pre_escalate if spec_enabled else None,
     )
     t1 = time.time()
     n = cyl.shape[0]
@@ -844,6 +917,31 @@ def finalize_to_panorama(
         )
         from vfx_image_stitching_tpu.compose.crop import apply_crop
 
+        spec_hit = False
+        if "thread" in spec:
+            spec["thread"].join()
+            spec_hit = (
+                "err" not in spec
+                and spec.get("shifts") == shifts
+                and spec.get("pairs") == pairs
+            )
+        detail["spec_compose"] = bool(spec_hit)
+        if spec_hit:
+            imgs_host = spec["imgs"]
+            mosaic = spec["mosaic"]
+            bounds = spec["bounds"]
+            t1b = time.time()
+            detail["plan_dispatch_s"] = t1b - t1
+            t2 = time.time()
+            detail["mosaic_pull_s"] = t2 - t1b
+            panorama = apply_crop(mosaic, bounds, margin)
+            t3 = time.time()
+            return _Finalized(
+                panorama=panorama, mosaic=mosaic, shifts=shifts,
+                corrected=corrected, pairs=pairs, counts=counts, steps=None,
+                finalize_s=t1 - t0, compose_s=t2 - t1, crop_s=t3 - t2,
+                detail=detail,
+            )
         imgs_host = {i: f.result() for i, f in proj_futs.items()}
         t1b = time.time()
         detail["plan_dispatch_s"] = t1b - t1
@@ -940,6 +1038,11 @@ def _stitch_inner(
         os.environ.get("VFX_GRAY_FIRST", "1" if host_compose else "0")
         == "1"
     )
+    # host projection of the gray uploads (bit-identical index-map
+    # gather) keeps the per-group device gather off the critical path
+    host_project = (
+        gray_first and os.environ.get("VFX_HOST_PROJECT", "1") == "1"
+    )
     if gray_first:
         from vfx_image_stitching_tpu.io import load_dataset_device_split
 
@@ -949,6 +1052,7 @@ def _stitch_inner(
             load_dataset_device_split(
                 folder, pano_file, group_target,
                 upload_rgb=not (host_compose and not return_steps),
+                host_project=host_project,
             )
         )
     else:  # RGB-everything fallback (VFX_GRAY_FIRST=0)
@@ -969,9 +1073,12 @@ def _stitch_inner(
     idx = 0
     for b in gray_batches:
         gsize = int(b.shape[0])
-        cyl_g = cylindrical_project_batch(
-            b, tuple(focals[idx : idx + gsize])
-        )
+        if host_project:
+            cyl_g = b  # loader already projected on host (bit-identical)
+        else:
+            cyl_g = cylindrical_project_batch(
+                b, tuple(focals[idx : idx + gsize])
+            )
         idx += gsize
         cyl_groups.append(cyl_g)
         feats_groups.append(extract_features(cyl_g, cfg))
