@@ -164,3 +164,24 @@ def test_gray_group_upload_equals_single_stack(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert list(base[2]) == list(eager[2])  # valid masks
     assert base[3] == eager[3]              # focals
+
+
+@requires_reference
+def test_host_project_loader_matches_device_projection():
+    """host_project=True uploads are bit-equal to projecting on device."""
+    from vfx_image_stitching_tpu.geometry import cylindrical_project_batch
+    from vfx_image_stitching_tpu.io import load_dataset_device_split
+    from tests.conftest import REFERENCE_DIR
+
+    folder = os.path.join(REFERENCE_DIR, "out")
+    plain = load_dataset_device_split(folder, host_project=False)
+    proj = load_dataset_device_split(folder, host_project=True)
+    focals = plain[3]
+    idx = 0
+    for b_plain, b_proj in zip(plain[0], proj[0]):
+        g = int(b_plain.shape[0])
+        expect = cylindrical_project_batch(
+            b_plain, tuple(focals[idx : idx + g])
+        )
+        idx += g
+        np.testing.assert_array_equal(np.asarray(expect), np.asarray(b_proj))

@@ -211,16 +211,32 @@ def compute_descriptors(
     # reference row split: c1 = wm*rf to row r0+2, (wm - c1) to row r0+1
     c1 = wm * rf
     # rc = two_hot(rows) (x) two_hot(cols), built DIRECTLY over a
-    # combined 36-long minor axis: the (K,S,S,6,6) outer product +
-    # reshape forced XLA to materialize relayout copies of the bf16
-    # one-hot tensor (~20 ms/run of data formatting in the r3 trace);
-    # the fused elementwise form is bit-identical (same two factors,
-    # multiplied in the same f32 order) and born in the GEMM's layout.
+    # combined minor axis: the (K,S,S,6,6) outer product + reshape
+    # forced XLA to materialize relayout copies of the bf16 one-hot
+    # tensor (~20 ms/run of the r3 trace); the fused elementwise form
+    # is bit-identical (same two factors, multiplied in the same f32
+    # order) and born in the GEMM's layout.
+    #
+    # The one-hot covers ONLY the ww x ww INNER cells: the reference
+    # scatters into a (ww+2, ww+2, nb) tensor and crops the padding
+    # ring afterwards (sift_impl.py:509), so ring contributions never
+    # reach the descriptor — building them 36-wide just to discard 20
+    # of 36 GEMM output rows cost ~2x the hot tensor's HBM traffic.
+    # The kept cells receive exactly the same products in the same
+    # contraction order, so the dot output is bit-identical.
+    import os
+
+    inner = os.environ.get("VFX_DESC_INNER", "1") == "1"
     ra = jnp.clip(r0 + 1, 0, ww + 1)[..., None]      # lo slot per sample
     ca = jnp.clip(c0 + 1, 0, ww + 1)[..., None]
-    pos = jnp.arange((ww + 2) ** 2, dtype=jnp.int32)
-    pa = pos // (ww + 2)
-    pb = pos % (ww + 2)
+    n_cells = ww * ww if inner else (ww + 2) ** 2
+    pos = jnp.arange(n_cells, dtype=jnp.int32)
+    if inner:
+        pa = pos // ww + 1                           # inner rows 1..ww
+        pb = pos % ww + 1                            # inner cols 1..ww
+    else:                                            # A/B reference path
+        pa = pos // (ww + 2)
+        pb = pos % (ww + 2)
     rv = jnp.where(pa == ra, (wm - c1)[..., None], 0.0) + jnp.where(
         pa == ra + 1, c1[..., None], 0.0
     )
@@ -229,7 +245,7 @@ def compute_descriptors(
     )
     o8 = _two_hot(o0, (1.0 - of), of, nb, wrap=True)  # (K, S, S, 8)
 
-    rc = (rv * cv).reshape(k, s2, (ww + 2) ** 2)
+    rc = (rv * cv).reshape(k, s2, n_cells)
     o8r = o8.reshape(k, s2, nb)
     if cfg.capacities.desc_bf16:
         rc = rc.astype(jnp.bfloat16)
@@ -238,8 +254,9 @@ def compute_descriptors(
         rc, o8r,
         (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                                # (K, 36, 8)
-    tensor = tensor.reshape(k, ww + 2, ww + 2, nb)[:, 1:-1, 1:-1, :]
+    )                                                # (K, n_cells, 8)
+    if not inner:
+        tensor = tensor.reshape(k, ww + 2, ww + 2, nb)[:, 1:-1, 1:-1, :]
     vec = tensor.reshape(k, ww * ww * nb)
     return _finalize(vec, cfg)
 

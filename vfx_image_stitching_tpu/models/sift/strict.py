@@ -470,18 +470,48 @@ _PYR_CACHE: "dict[bytes, tuple]" = {}
 _DESC_CACHE: "dict[tuple, object]" = {}
 _PYR_CACHE_MAX = 16
 _DESC_CACHE_MAX = 65536
+_STRICT_LOCK = __import__("threading").Lock()
+_PYR_PENDING: "dict[bytes, object]" = {}
 
 
 def _pyramid_for(img: np.ndarray, cfg: SiftConfig):
+    """Content-cached host pyramid, safe under concurrent escalation.
+
+    The escalation loop runs pairs in a small thread pool and adjacent
+    pairs share an image, so same-key builds are deduplicated with a
+    per-key pending event (the ~50 ms pyramid build runs OUTSIDE the
+    lock; distinct images build in parallel).
+    """
+    import threading
+
     key = _image_key(img)
-    hit = _PYR_CACHE.get(key)
-    if hit is None:
-        if len(_PYR_CACHE) >= _PYR_CACHE_MAX:
-            _PYR_CACHE.pop(next(iter(_PYR_CACHE)))
-        pyr = host_gaussian_pyramid(img, cfg)
-        hit = (pyr, host_dog_octaves(pyr))
-        _PYR_CACHE[key] = hit
-    return key, hit
+    while True:
+        with _STRICT_LOCK:
+            hit = _PYR_CACHE.get(key)
+            if hit is not None:
+                return key, hit
+            ev = _PYR_PENDING.get(key)
+            if ev is None:
+                ev = threading.Event()
+                _PYR_PENDING[key] = ev
+                mine = True
+            else:
+                mine = False
+        if mine:
+            try:
+                pyr = host_gaussian_pyramid(img, cfg)
+                hit = (pyr, host_dog_octaves(pyr))
+                with _STRICT_LOCK:
+                    while len(_PYR_CACHE) >= _PYR_CACHE_MAX:
+                        _PYR_CACHE.pop(next(iter(_PYR_CACHE)))
+                    _PYR_CACHE[key] = hit
+            finally:
+                with _STRICT_LOCK:
+                    _PYR_PENDING.pop(key, None)
+                ev.set()
+            return key, hit
+        ev.wait()
+        # retry: the entry may already have been evicted again
 
 
 def _strict_desc_cached(img: np.ndarray, meta: Dict[str, np.ndarray],
@@ -494,8 +524,9 @@ def _strict_desc_cached(img: np.ndarray, meta: Dict[str, np.ndarray],
         int(meta["jx"][k]), int(meta["jy"][k]), int(meta["jl"][k]),
         int(meta["octave"][k]), float(np.float32(meta["angle"][k])),
     )
-    if key in _DESC_CACHE:
-        return _DESC_CACHE[key]
+    with _STRICT_LOCK:
+        if key in _DESC_CACHE:
+            return _DESC_CACHE[key]
     kp = recompute_keypoint_strict(
         key[1], key[2], key[3], key[4], key[5], key[6], key[7], pyr, dogs,
         cfg,
@@ -507,9 +538,10 @@ def _strict_desc_cached(img: np.ndarray, meta: Dict[str, np.ndarray],
         out = descriptor_strict(
             (px, py), size, angle, packed, pyr, cfg
         ).astype(np.float64)
-    if len(_DESC_CACHE) >= _DESC_CACHE_MAX:
-        _DESC_CACHE.clear()
-    _DESC_CACHE[key] = out
+    with _STRICT_LOCK:
+        if len(_DESC_CACHE) >= _DESC_CACHE_MAX:
+            _DESC_CACHE.clear()
+        _DESC_CACHE[key] = out
     return out
 
 

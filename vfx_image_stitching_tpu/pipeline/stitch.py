@@ -715,13 +715,10 @@ def finalize_pairwise_shifts(
                     cyl_host_cache[i] = np.asarray(cyl[i])
             return cyl_host_cache[i]
 
-        for i in np.nonzero(nmaterial_np > 0)[0]:
-            i = int(i)
-            if not (valid[i] and valid[i + 1]):
-                continue
+        def _escalate_one(i: int):
             meta_a = {k: v[i] for k, v in meta_np.items()}
             meta_b = {k: v[i + 1] for k, v in meta_np.items()}
-            esc = escalate_pair(
+            return escalate_pair(
                 cyl_host(i), cyl_host(i + 1),
                 xy_np[i], meta_a, xy_np[i + 1], meta_b,
                 validkp_np[i], bestb_np[i], candidx_np[i], candinm_np[i],
@@ -730,6 +727,22 @@ def finalize_pairwise_shifts(
                 desc_thresh=mcfg.desc_thresh,
                 ransac_thresh=mcfg.ransac_thresh,
             )
+
+        esc_rows = [
+            int(i) for i in np.nonzero(nmaterial_np > 0)[0]
+            if valid[int(i)] and valid[int(i) + 1]
+        ]
+        # pairs are independent (each touches only its own row); run them
+        # in a small thread pool — host pyramid builds dominate the cost
+        # and the strict caches dedupe shared images (strict._pyramid_for)
+        if len(esc_rows) > 1 and os.environ.get("VFX_ESC_THREADS", "1") == "1":
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(4, len(esc_rows))) as _ep:
+                esc_results = list(_ep.map(_escalate_one, esc_rows))
+        else:
+            esc_results = [_escalate_one(i) for i in esc_rows]
+        for i, esc in zip(esc_rows, esc_results):
             if esc is None:
                 continue  # strict pass confirmed the device result
             shift, pair, anym = esc
