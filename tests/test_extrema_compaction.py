@@ -39,3 +39,25 @@ def test_twolevel_block_boundary_runs():
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     assert np.asarray(s1)[np.asarray(v1)].tolist() == np.nonzero(mask)[0][:int(np.asarray(v1).sum())].tolist()
+
+
+def test_separable_window_matches_reduce_window(monkeypatch):
+    """_sep3 shifted-elementwise == lax.reduce_window (3,3,3) VALID."""
+    from vfx_image_stitching_tpu.models.sift import extrema as EX
+
+    rng = np.random.default_rng(1)
+    for shape in [(5, 64, 80), (5, 33, 47), (5, 7, 9)]:
+        dog = jnp.asarray(rng.normal(0, 50, shape), jnp.float32)
+        res = {}
+        for knob in ("0", "1"):
+            monkeypatch.setenv("VFX_EXTREMA_SEP", knob)
+            res[knob] = np.asarray(EX.extrema_mask(dog, 5, 2.0))
+        np.testing.assert_array_equal(res["0"], res["1"])
+    # tie-heavy integer values: equal neighbors exercise the non-strict
+    # comparisons both ways
+    dog = jnp.asarray(rng.integers(-3, 4, (5, 40, 40)), jnp.float32)
+    res = {}
+    for knob in ("0", "1"):
+        monkeypatch.setenv("VFX_EXTREMA_SEP", knob)
+        res[knob] = np.asarray(EX.extrema_mask(dog, 2, 0.5))
+    np.testing.assert_array_equal(res["0"], res["1"])

@@ -38,6 +38,7 @@ def _fake_finalize(final_shift, cb_shift):
 
 @pytest.mark.parametrize("changed", [False, True])
 def test_spec_compose_hit_and_fallback(monkeypatch, changed):
+    monkeypatch.setattr(ST, "_SPEC_MISS_KEYS", {})
     rng = np.random.default_rng(0)
     n, h, w = 2, 24, 32
     host_images = [
@@ -68,3 +69,46 @@ def test_spec_compose_hit_and_fallback(monkeypatch, changed):
     assert spec.shifts == plain.shifts == [final_shift]
     np.testing.assert_array_equal(spec.mosaic, plain.mosaic)
     np.testing.assert_array_equal(spec.panorama, plain.panorama)
+
+
+def test_spec_miss_memory_skips_then_reenables(monkeypatch):
+    """A dataset whose escalation changed skips speculation next run;
+    once it confirms again, speculation re-enables."""
+    monkeypatch.setattr(ST, "_SPEC_MISS_KEYS", {})
+    rng = np.random.default_rng(1)
+    n, h, w = 2, 24, 32
+    host_images = [
+        (rng.random((h, w, 3)) * 255).astype(np.uint8) for _ in range(n)
+    ]
+    focals = [100.0, 100.0]
+    cyl = np.zeros((n, h, w, 3), np.uint8)
+    cfg = StitchConfig(backend="harris")
+    monkeypatch.setenv("VFX_SPEC_COMPOSE", "1")
+    monkeypatch.setenv("VFX_HOST_COMPOSE", "1")
+
+    def run(final_shift):
+        monkeypatch.setattr(
+            ST, "finalize_pairwise_shifts",
+            _fake_finalize(final_shift, (3.0, 1.0)),
+        )
+        return ST.finalize_to_panorama(
+            cyl, None, None, None, None, None, [True] * n, cfg,
+            h, w, margin=0, host_images=host_images, focals=focals,
+        )
+
+    # run 1: escalation changes -> miss recorded
+    out = run((5.0, 2.0))
+    assert out.detail["spec_compose"] is False
+    assert len(ST._SPEC_MISS_KEYS) == 1
+    # run 2 (same key, still changing): speculation skipped, still correct
+    out2 = run((5.0, 2.0))
+    assert out2.detail["spec_compose"] is False
+    np.testing.assert_array_equal(out.panorama, out2.panorama)
+    # run 3: escalation confirms -> key cleared for the next run...
+    out3 = run((3.0, 1.0))
+    assert out3.detail["spec_compose"] is False  # skipped this time
+    assert len(ST._SPEC_MISS_KEYS) == 0
+    # ...run 4 speculates again and hits
+    out4 = run((3.0, 1.0))
+    assert out4.detail["spec_compose"] is True
+    np.testing.assert_array_equal(out3.panorama, out4.panorama)

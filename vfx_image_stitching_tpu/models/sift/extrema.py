@@ -27,17 +27,35 @@ def extrema_threshold(contrast_threshold: float, num_intervals: int) -> float:
     return float(math.floor(0.5 * contrast_threshold / num_intervals * 255))
 
 
+def _sep3(dog: jnp.ndarray, op) -> jnp.ndarray:
+    """Separable 3x3x3 window reduction (VALID), one axis per pass.
+
+    Identical values to ``lax.reduce_window`` over (3, 3, 3) — max/min
+    are associative and commutative — in 3 cheap shifted-elementwise
+    passes; knob VFX_EXTREMA_SEP=0 restores the reduce_window form.
+    """
+    r = op(op(dog[..., :-2], dog[..., 1:-1]), dog[..., 2:])
+    r = op(op(r[..., :-2, :], r[..., 1:-1, :]), r[..., 2:, :])
+    return op(op(r[:-2], r[1:-1]), r[2:])
+
+
 def extrema_mask(
     dog: jnp.ndarray, border: int, threshold: float
 ) -> jnp.ndarray:
     """(3, H, W) bool: is (layer=i+1, y, x) a 26-neighbor extremum."""
+    import os
+
     h, w = dog.shape[-2:]
-    win_max = jax.lax.reduce_window(
-        dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "VALID"
-    )
-    win_min = jax.lax.reduce_window(
-        dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "VALID"
-    )
+    if os.environ.get("VFX_EXTREMA_SEP", "1") == "1":
+        win_max = _sep3(dog, jnp.maximum)
+        win_min = _sep3(dog, jnp.minimum)
+    else:
+        win_max = jax.lax.reduce_window(
+            dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "VALID"
+        )
+        win_min = jax.lax.reduce_window(
+            dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "VALID"
+        )
     center = dog[1:4, 1 : h - 1, 1 : w - 1]
     pos = (center > threshold) & (center == win_max)
     neg = (center < -threshold) & (center == win_min)

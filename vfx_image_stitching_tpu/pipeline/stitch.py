@@ -789,6 +789,14 @@ def _lists_from_arrays(
     return shifts, pairs
 
 
+# dataset keys (pre-escalation decision bytes) whose strict escalation
+# CHANGED an outcome on a previous run: speculation for them is wasted
+# work that contends with the threaded escalation, so it is skipped
+# until the key confirms again.  Bounded insertion-order dict.
+_SPEC_MISS_KEYS: dict = {}
+_SPEC_MISS_MAX = 256
+
+
 @dataclasses.dataclass
 class _Finalized:
     """Output of the shared finalize->compose tail (finalize_to_panorama)."""
@@ -870,11 +878,15 @@ def finalize_to_panorama(
         _pool.shutdown(wait=False)
 
     # Speculative compose: the host fold needs only the shifts, and the
-    # escalation loop (tens of ms) almost always CONFIRMS the device
-    # decisions — so when escalation is about to run, a worker thread
-    # starts drift/plan/fold from the pre-escalation arrays in parallel.
-    # If escalation changes any pair (rare by construction), the
-    # speculative mosaic is discarded and the fold reruns serially.
+    # escalation loop (tens of ms) usually CONFIRMS the device decisions
+    # — so when escalation is about to run, a worker thread starts
+    # drift/plan/fold from the pre-escalation arrays in parallel.  If
+    # escalation changes any pair the speculative mosaic is discarded
+    # and the fold reruns serially; the wasted fold also CONTENDS with
+    # the threaded escalation (measured +0.05 s on parrington, whose
+    # pair-13 knife edge genuinely changes every run — docs/DEVNOTES.md
+    # r3 tail A/B), so dataset keys that missed are remembered and skip
+    # speculation on later runs (re-enabled if they start confirming).
     spec: dict = {}
     spec_enabled = (
         host_compose and os.environ.get("VFX_SPEC_COMPOSE", "1") == "1"
@@ -889,6 +901,14 @@ def finalize_to_panorama(
             compose_mosaic_host,
             content_bounds_host,
         )
+
+        key = (
+            shifts_np.tobytes(), pa_np.tobytes(), tuple(valid), n_imgs
+        )
+        spec["key"] = key
+        spec["pre"] = (shifts_np, pa_np, pb_np, any_np)
+        if key in _SPEC_MISS_KEYS:
+            return  # escalation changed this dataset's outcome last time
 
         def run():
             try:
@@ -938,6 +958,19 @@ def finalize_to_panorama(
                 and spec.get("shifts") == shifts
                 and spec.get("pairs") == pairs
             )
+            if not spec_hit and "key" in spec:
+                while len(_SPEC_MISS_KEYS) >= _SPEC_MISS_MAX:
+                    _SPEC_MISS_KEYS.pop(next(iter(_SPEC_MISS_KEYS)))
+                _SPEC_MISS_KEYS[spec["key"]] = True
+        elif "pre" in spec and spec.get("key") in _SPEC_MISS_KEYS:
+            # speculation was skipped by miss memory: if escalation
+            # actually confirmed this time, re-enable for the next run
+            s_pre, pa_pre, pb_pre, any_pre = spec["pre"]
+            shifts_pre, pairs_pre = _lists_from_arrays(
+                s_pre, pa_pre, pb_pre, any_pre, list(valid), n_imgs
+            )
+            if shifts_pre == shifts and pairs_pre == pairs:
+                _SPEC_MISS_KEYS.pop(spec["key"], None)
         detail["spec_compose"] = bool(spec_hit)
         if spec_hit:
             imgs_host = spec["imgs"]
