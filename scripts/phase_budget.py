@@ -44,20 +44,25 @@ OUT = os.environ.get(
 )
 
 
+DATASET = os.environ.get("VFX_PHASE_DATASET", "parrington")
+MARGINS = {"out": 30, "parrington": 15, "grail": 17, "wind": 24}
+
+
 def main() -> None:
     from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama
 
-    folder = os.path.join(DATA, "parrington")
+    folder = os.path.join(DATA, DATASET)
+    margin = MARGINS.get(DATASET, 15)
     n_runs = int(os.environ.get("VFX_PHASE_RUNS", "5"))
 
     t0 = time.time()
-    stitch_panorama(folder, backend="sift", crop_margin=15)  # warmup
+    stitch_panorama(folder, backend="sift", crop_margin=margin)  # warmup
     warmup_s = time.time() - t0
 
     runs = []
     for _ in range(n_runs):
         t0 = time.time()
-        res = stitch_panorama(folder, backend="sift", crop_margin=15)
+        res = stitch_panorama(folder, backend="sift", crop_margin=margin)
         wall = time.time() - t0
         rec = dict(res.timings)
         rec["wall_s"] = wall
@@ -68,7 +73,7 @@ def main() -> None:
         from vfx_image_stitching_tpu.config import StitchConfig
 
         cfg = StitchConfig(backend="sift", profile_dir=profile_dir)
-        stitch_panorama(folder, backend="sift", crop_margin=15, cfg=cfg)
+        stitch_panorama(folder, backend="sift", crop_margin=margin, cfg=cfg)
 
     keys = sorted({k for r in runs for k in r})
     median = {
@@ -76,7 +81,7 @@ def main() -> None:
         for k in keys
     }
     out = {
-        "dataset": "parrington",
+        "dataset": DATASET,
         "backend": "sift",
         "n_runs": n_runs,
         "warmup_compile_s": round(warmup_s, 2),

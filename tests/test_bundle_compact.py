@@ -61,8 +61,14 @@ def _synthetic(seed, n_img=4, kcap=32, n_cand=4):
     return state, pair_out
 
 
-def _run(state, pair_out, monkeypatch, compact, caps=None):
-    """finalize in the given mode; returns the escalate_pair call args."""
+def _run(state, pair_out, monkeypatch, compact, caps=None, threads=False):
+    """finalize in the given mode; returns the escalate_pair call args.
+
+    Escalation runs serially by default so the recorded call order is
+    the pair order (the threaded pool invokes escalate_pair from worker
+    threads in nondeterministic order; results stay ordered because the
+    pipeline uses executor.map, but the *call* recording would not be).
+    """
     calls = []
 
     def recorder(cyl_a, cyl_b, xy_a, meta_a, xy_b, meta_b, valid_a,
@@ -84,6 +90,7 @@ def _run(state, pair_out, monkeypatch, compact, caps=None):
 
     monkeypatch.setattr(strict, "escalate_pair", recorder)
     monkeypatch.setenv("VFX_ESC_COMPACT", "1" if compact else "0")
+    monkeypatch.setenv("VFX_ESC_THREADS", "1" if threads else "0")
     if caps:
         monkeypatch.setenv("VFX_ESC_CAP_META", str(caps[0]))
         monkeypatch.setenv("VFX_ESC_CAP_CAND", str(caps[1]))
@@ -175,6 +182,36 @@ def test_compact_overflow_falls_back_with_warning(monkeypatch):
                     np.asarray(c[side][key], np.float64),
                     err_msg=f"{side}.{key}",
                 )
+
+
+def test_threaded_escalation_matches_serial(monkeypatch):
+    """VFX_ESC_THREADS=1 calls the same pairs with the same data and
+    produces identical finalize outputs (executor.map keeps result
+    order; only the call-recording order may differ)."""
+    state, pair_out = _synthetic(5)
+    ser_calls, ser_out = _run(state, pair_out, monkeypatch, compact=True)
+    thr_calls, thr_out = _run(
+        state, pair_out, monkeypatch, compact=True, threads=True
+    )
+    assert len(ser_calls) == len(thr_calls) > 1
+
+    def keyed(calls):
+        return sorted(calls, key=lambda c: c["xy_a"].tobytes())
+
+    for f, c in zip(keyed(ser_calls), keyed(thr_calls)):
+        for key in ("xy_a", "xy_b", "valid_a", "best_b", "matched",
+                    "border_flip", "border_swap", "material",
+                    "cand_idx", "cand_inm"):
+            np.testing.assert_array_equal(f[key], c[key], err_msg=key)
+        for side in ("meta_a", "meta_b"):
+            for key in f[side]:
+                np.testing.assert_array_equal(
+                    np.asarray(f[side][key], np.float64),
+                    np.asarray(c[side][key], np.float64),
+                    err_msg=f"{side}.{key}",
+                )
+    for a, b in zip(ser_out, thr_out):
+        np.testing.assert_array_equal(np.asarray(a, object), np.asarray(b, object))
 
 
 @pytest.mark.parametrize("n_strips", [2, 5])
