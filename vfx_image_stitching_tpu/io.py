@@ -291,6 +291,7 @@ def load_dataset_device_grouped(
 def load_dataset_device_split(
     folder: str, pano_file: Optional[str] = None, group_target: int = 6,
     upload_rgb: bool = True, host_project: bool = False,
+    on_group=None,
 ):
     """Gray-first grouped loader: only gray rides the critical path.
 
@@ -305,6 +306,16 @@ def load_dataset_device_split(
     while the extractor runs.  RGB images are returned as an UNSTACKED
     device list — the caller stacks/projects them lazily at compose
     time so no device op ahead of the first sync waits on them.
+
+    ``on_group(k, dev_stack, lo, hi, focals)`` — when given and group
+    uploads are eager (VFX_GRAY_GROUP_UPLOAD=1) — fires from the loader
+    thread the moment group ``k``'s gray stack lands on device, BEFORE
+    later images decode.  The pipeline uses it to dispatch feature
+    extraction per group so the device chews group 0 while the host is
+    still decoding group 2 (decode of an 18-image dataset costs
+    ~0.1-0.15 s of single-core JPEG work that otherwise serializes
+    ahead of all device compute).  Every group fires exactly once
+    (deferred groups fire in the post-decode fallback pass).
 
     Returns ``(gray_batches, rgb_imgs, valid, focals, shape, host_imgs)``.
     """
@@ -346,6 +357,8 @@ def load_dataset_device_split(
             else:
                 grp.append(np.zeros(ref_shape[:2], np.uint8))
         group_dev[k] = jax.device_put(np.stack(grp))
+        if on_group is not None:
+            on_group(k, group_dev[k], lo, hi, focals)
 
     with cf.ThreadPoolExecutor(max_workers=min(8, n)) as pool:
         futs = {pool.submit(load_bgr, p): i for i, p in enumerate(resolved)}

@@ -1089,6 +1089,25 @@ def _stitch_inner(
     host_project = (
         gray_first and os.environ.get("VFX_HOST_PROJECT", "1") == "1"
     )
+    # dispatch projection + extraction per group the moment its gray
+    # stack lands on device (loader callback): the device starts on
+    # group 0 while later images are still decoding, instead of idling
+    # behind the whole single-core JPEG pass.  VFX_EXTRACT_ON_LOAD=0
+    # restores dispatch-after-load for A/B.
+    extract_on_load = os.environ.get("VFX_EXTRACT_ON_LOAD", "1") == "1"
+    cyl_by_group: dict = {}
+    feats_by_group: dict = {}
+
+    def _on_group(k, dev_stack, lo, hi, focals_all):
+        if host_project:
+            cyl_g = dev_stack  # loader already projected on host
+        else:
+            cyl_g = cylindrical_project_batch(
+                dev_stack, tuple(focals_all[lo:hi])
+            )
+        cyl_by_group[k] = cyl_g
+        feats_by_group[k] = extract_features(cyl_g, cfg)
+
     if gray_first:
         from vfx_image_stitching_tpu.io import load_dataset_device_split
 
@@ -1099,6 +1118,7 @@ def _stitch_inner(
                 folder, pano_file, group_target,
                 upload_rgb=not (host_compose and not return_steps),
                 host_project=host_project,
+                on_group=_on_group if extract_on_load else None,
             )
         )
     else:  # RGB-everything fallback (VFX_GRAY_FIRST=0)
@@ -1117,8 +1137,13 @@ def _stitch_inner(
     # soon as its stack is ready
     cyl_groups, feats_groups = [], []
     idx = 0
-    for b in gray_batches:
+    for k, b in enumerate(gray_batches):
         gsize = int(b.shape[0])
+        if k in feats_by_group:  # dispatched by the loader callback
+            cyl_groups.append(cyl_by_group[k])
+            feats_groups.append(feats_by_group[k])
+            idx += gsize
+            continue
         if host_project:
             cyl_g = b  # loader already projected on host (bit-identical)
         else:
