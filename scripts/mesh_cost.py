@@ -70,9 +70,10 @@ def measure(mode: str) -> float:
     else:
         mesh2 = make_mesh_2d(8)
         batch = jnp.asarray(host)
+        step_mode = "shard_map" if mode == "shardmap" else "vmap"
 
         def run():
-            out = sharded_multi_pano_full(batch, mesh2, cfg)
+            out = sharded_multi_pano_full(batch, mesh2, cfg, mode=step_mode)
             jax.block_until_ready(out)
 
     run()  # compile
@@ -91,7 +92,7 @@ def main() -> None:
         return
 
     results = {}
-    for mode in ("single", "multi"):
+    for mode in ("single", "multi", "shardmap"):
         env = dict(os.environ, VFX_MESH_COST_MODE=mode)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -101,6 +102,7 @@ def main() -> None:
         results[mode] = json.loads(line)["median_s"]
 
     single_med, multi_med = results["single"], results["multi"]
+    smap_med = results["shardmap"]
     print(json.dumps({
         "config": f"P={P_PANOS} panos x N={N_IMGS} imgs, {H}x{W}, "
                   "small-caps SIFT, 8-dev CPU mesh (2x4 pano,images)",
@@ -109,9 +111,14 @@ def main() -> None:
         "vmapped_multi_pano_total_s": round(multi_med, 4),
         "vmapped_per_pano_s": round(multi_med / P_PANOS, 4),
         "penalty_ratio_vmapped_vs_single": round(multi_med / single_med, 2),
+        "shardmap_multi_pano_total_s": round(smap_med, 4),
+        "shardmap_per_pano_s": round(smap_med / P_PANOS, 4),
+        "penalty_ratio_shardmap_vs_single": round(smap_med / single_med, 2),
         "note": "CPU-mesh proxy for the cond->select rewrite cost; the "
                 "2-D mesh also shards panos so wall-clock can be lower "
-                "even with the penalty",
+                "even with the penalty; shardmap is the default "
+                "sharded_multi_pano_full mode (manual pano axis, auto "
+                "images axis, conds stay conds)",
     }, indent=1))
 
 

@@ -84,6 +84,77 @@ def test_sharded_multi_pano_matches_unsharded():
         np.testing.assert_allclose(np.asarray(s), np.asarray(l), atol=1e-5)
 
 
+def test_shardmap_multi_pano_matches_vmap():
+    """Default shard_map multi-pano full step == the vmap path, bit-equal.
+
+    The shard_map step runs the unvmapped per-pano program per shard
+    (conds stay conds — no select rewrite), so it must reproduce the
+    vmapped step's outputs exactly; P=3 on the 2-wide pano axis also
+    exercises the blank-pano padding + trim.
+    """
+    import __graft_entry__ as ge
+    from vfx_image_stitching_tpu.parallel.mesh import (
+        make_mesh_2d,
+        sharded_multi_pano_full,
+    )
+
+    rng = np.random.default_rng(4)
+    batch = jnp.asarray(
+        rng.integers(0, 256, (3, 4, 64, 48, 3), dtype=np.uint8)
+    )
+    cfg = ge._small_sift_config()
+
+    mesh2 = make_mesh_2d(8)
+    smap = sharded_multi_pano_full(batch, mesh2, cfg)
+    # the vmap path requires P to divide the pano axis — pad + trim here
+    # (sharded_multi_pano_full does this internally for shard_map)
+    padded = jnp.concatenate([batch, jnp.zeros_like(batch[:1])])
+    vmap = sharded_multi_pano_full(padded, mesh2, cfg, mode="vmap")
+    vmap = jax.tree.map(lambda x: x[:3], vmap)
+    for s, v in zip(jax.tree.leaves(smap), jax.tree.leaves(vmap)):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(v))
+
+
+def test_stitch_many_pano_mesh_matches_unsharded(tmp_path):
+    """End-to-end stitch_many on the 1-D pano-only mesh == single-device.
+
+    make_mesh_pano is the preferred throughput layout (whole panoramas
+    per device, docs/MESH_COST_r03b.json); this pins its end-to-end
+    equality through _stitch_many_sharded's 1-D mesh handling.
+    """
+    import os
+
+    import cv2
+    pytest = __import__("pytest")
+    if not os.path.isdir("/root/reference/out"):
+        pytest.skip("reference repo not mounted")
+
+    from vfx_image_stitching_tpu.parallel.mesh import make_mesh_pano
+    from vfx_image_stitching_tpu.pipeline.multi import stitch_many
+
+    src = cv2.imread("/root/reference/out/out00.jpg")
+    src2 = cv2.imread("/root/reference/out/out01.jpg")
+    folders = []
+    for name, off in (("pma", 0), ("pmb", 16), ("pmc", 32)):
+        d = tmp_path / name
+        d.mkdir()
+        cv2.imwrite(str(d / "a.jpg"), src[off : off + 120, 40:180])
+        cv2.imwrite(str(d / "b.jpg"), src2[off : off + 120, 40:180])
+        (d / "pano.txt").write_text("a.jpg\n455.0\nb.jpg\n455.5\n")
+        folders.append(str(d))
+
+    mesh = make_mesh_pano(2)  # P=3 on 2 devices: uneven pano padding
+    margins = {n: 2 for n in ("pma", "pmb", "pmc")}
+    sharded = stitch_many(folders, backend="harris", margins=margins,
+                          mesh=mesh)
+    plain = stitch_many(folders, backend="harris", margins=margins)
+    for name in ("pma", "pmb", "pmc"):
+        assert sharded[name].shifts == plain[name].shifts
+        np.testing.assert_array_equal(
+            sharded[name].panorama, plain[name].panorama
+        )
+
+
 def test_graft_entry_contracts():
     import __graft_entry__ as ge
 

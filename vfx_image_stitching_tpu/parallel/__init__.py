@@ -13,6 +13,7 @@ which rides ICI on a real slice.
 from vfx_image_stitching_tpu.parallel.mesh import (
     make_mesh,
     make_mesh_2d,
+    make_mesh_pano,
     sharded_pairwise_shifts,
     sharded_multi_pano_shifts,
     sharded_multi_pano_full,
@@ -22,6 +23,7 @@ from vfx_image_stitching_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "make_mesh_2d",
+    "make_mesh_pano",
     "sharded_pairwise_shifts",
     "sharded_multi_pano_shifts",
     "sharded_multi_pano_full",

@@ -142,25 +142,104 @@ def _multi_pano_full_step(batch: jnp.ndarray, cfg: StitchConfig):
     # the per-octave gradient-fields lax.cond (rewritten into a select)
     # plus extrema work; measured 1.96x per pano on the 8-dev CPU mesh
     # (was 7.2x with cond-based skipping — scripts/mesh_cost.py,
-    # captured in docs/MESH_COST_r03.json).
+    # captured in docs/MESH_COST_r03.json).  The default multi-pano
+    # path is now the shard_map step (_shardmap_full_step), which keeps
+    # conds real and pays ~1.0x; this vmap step remains for
+    # mode="vmap" and as the comparison baseline.
     return jax.vmap(lambda b: _full_shift_step(b, cfg))(batch)
+
+
+@functools.lru_cache(maxsize=None)
+def _shardmap_full_step(mesh: Mesh, cfg: StitchConfig):
+    """Build the shard_map multi-pano step for ``mesh`` (cached per mesh+cfg).
+
+    Manual over the leading (pano) mesh axis only: each pano-axis shard
+    runs the UNvmapped single-pano program over its local panoramas via
+    ``lax.map`` (a scan — ``lax.cond`` capacity skips stay real conds, so
+    each pano pays its own live-chunk cost, not the batch max or a
+    cond->select rewrite).  Any remaining mesh axes stay in GSPMD "auto"
+    mode: a sharding constraint keeps the image axis sharded over them
+    inside the manual region, so a 2-D (pano, images) mesh still uses all
+    devices.  Outputs are bit-equal to the per-pano ``_full_shift_step``
+    (pinned by tests/test_parallel.py).
+    """
+    pano_ax = mesh.axis_names[0]
+    auto_axes = mesh.axis_names[1:]
+
+    def body(local):  # (P_local, N, H, W, 3); image axis global under auto
+        if auto_axes:
+            local = jax.lax.with_sharding_constraint(local, P(None, *auto_axes))
+        return jax.lax.map(lambda b: _full_shift_step(b, cfg), local)
+
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=P(pano_ax),
+            out_specs=P(pano_ax),
+            axis_names={pano_ax},
+            # scan carries start as pano-invariant constants and become
+            # varying, which the vma checker rejects; semantics are pure
+            # per-shard map, so the check is safely disabled.
+            check_vma=False,
+        )
+    )
 
 
 def sharded_multi_pano_full(
     batch: jnp.ndarray,
     mesh: Mesh,
     cfg: Optional[StitchConfig] = None,
+    mode: str = "shard_map",
 ):
-    """Full shift stage for a (P, N, H, W, 3) batch on the 2-D mesh.
+    """Full shift stage for a (P, N, H, W, 3) batch on the mesh.
 
-    Data-parallel over panoramas on one axis, image-parallel within each
-    panorama on the other; returns the per-pano
-    ``(xy, valid_kp, meta, stats, pair_out)`` leaves with a leading P
-    axis, ready for per-dataset finalize/compose on the host side.
+    Data-parallel over panoramas on the leading mesh axis,
+    image-parallel within each panorama on the remaining axes; returns
+    the per-pano ``(xy, valid_kp, meta, stats, pair_out)`` leaves with a
+    leading P axis, ready for per-dataset finalize/compose on the host.
+
+    ``mode="shard_map"`` (default) runs the unvmapped per-pano program
+    per shard — no vmap cond->select penalty (1.0x per pano vs the
+    vmapped 1.96x, docs/MESH_COST_r03b.json); P is padded to a pano-axis
+    multiple with blank panos (cheap: zero live capacity chunks) and
+    trimmed on return.  ``mode="vmap"`` keeps the old single-executable
+    vmap path (useful when P < the pano axis would waste devices).
     """
     cfg = cfg or StitchConfig(backend="sift")
+    if mode == "vmap":
+        batch = jax.device_put(
+            batch, NamedSharding(mesh, P(*mesh.axis_names))
+        )
+        return _multi_pano_full_step(batch, cfg)
+    p = batch.shape[0]
+    pano_n = int(mesh.devices.shape[0])
+    pad = (-p) % pano_n
+    if pad:
+        batch = jnp.concatenate(
+            [batch, jnp.zeros((pad,) + batch.shape[1:], batch.dtype)]
+        )
     batch = jax.device_put(batch, NamedSharding(mesh, P(*mesh.axis_names)))
-    return _multi_pano_full_step(batch, cfg)
+    out = _shardmap_full_step(mesh, cfg)(batch)
+    if pad:
+        out = jax.tree.map(lambda x: x[:p], out)
+    return out
+
+
+def make_mesh_pano(n_devices: Optional[int] = None,
+                   axis_name: str = "pano") -> Mesh:
+    """1-D pano-only mesh: each device runs whole panoramas.
+
+    The preferred throughput layout when P >= n_devices — the per-pano
+    step cost stays ~1.0x the single-device step (no image-axis halo
+    collectives, conds stay conds under the shard_map path;
+    docs/MESH_COST_r03b.json), and scaling across panoramas is linear
+    with zero inter-device communication.
+    """
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
 
 
 def make_mesh_2d(n_devices: Optional[int] = None,

@@ -143,13 +143,19 @@ def _stitch_many_sharded(
     cfg: Optional[StitchConfig] = None,
     verbose: bool = False,
 ) -> Dict[str, StitchResult]:
-    """Multi-chip throughput path: shift stage on the 2-D (pano, images) mesh.
+    """Multi-chip throughput path: shift stage sharded over ``mesh``.
 
-    Same-shape datasets batch into a (P, N, H, W, 3) array sharded over
-    both mesh axes; P and N are zero-padded up to mesh-axis multiples
-    (padding panos/images produce no pairs that touch real data and are
-    trimmed).  Finalize (incl. knife-edge escalation), planning, compose
-    and crop reuse the single-device implementations per dataset.
+    Accepts a 1-D pano-only mesh (``parallel.make_mesh_pano`` — each
+    device runs whole panoramas, the preferred layout when
+    P >= n_devices: docs/MESH_COST_r03b.json measured ~1.0x per-pano
+    cost vs 4x+ for image-axis sharding at small shapes) or the 2-D
+    (pano, images) mesh (``parallel.make_mesh_2d`` — for P < n_devices
+    with large images).  Same-shape datasets batch into a
+    (P, N, H, W, 3) array sharded over the mesh axes; P and N are
+    zero-padded up to mesh-axis multiples (padding panos/images produce
+    no pairs that touch real data and are trimmed).  Finalize (incl.
+    knife-edge escalation), planning, compose and crop reuse the
+    single-device implementations per dataset.
     """
     import jax.numpy as jnp
 
@@ -174,7 +180,13 @@ def _stitch_many_sharded(
     for k, (batch, valid, focals, shape, host) in enumerate(loaded):
         groups.setdefault((batch.shape[0],) + tuple(shape), []).append(k)
 
-    pano_ax, img_ax = mesh.devices.shape
+    if mesh.devices.ndim == 1:
+        # pano-only throughput mesh (parallel.make_mesh_pano): each
+        # device runs whole panoramas — the preferred layout when
+        # P >= n_devices (no image-axis halo collectives)
+        pano_ax, img_ax = mesh.devices.shape[0], 1
+    else:
+        pano_ax, img_ax = mesh.devices.shape
     staged: Dict[int, tuple] = {}
     for key, members in groups.items():
         n = key[0]
