@@ -122,3 +122,46 @@ def test_capacity_overflow_report():
     bad = dict(ok, final_count=np.array([7, 128]))
     msgs = capacity_overflow_report(bad)
     assert len(msgs) == 1 and "final keypoints" in msgs[0]
+
+
+def test_root_shims_reference_surface():
+    """Every reference root script has a same-named working counterpart.
+
+    The reference exposes 5 root-level entry files; a switching user's
+    ``import sift_impl`` and ``python {sift,harris}_visualizeUI.py``
+    must keep working (sift_visualizeUI.py:104-115 imports the stage
+    functions from the root module).
+    """
+    import importlib
+    import py_compile
+
+    sift_impl = importlib.import_module("sift_impl")
+    for name in (
+        "compute_keypoints_and_descriptors",
+        "generate_base_image",
+        "compute_number_of_octaves",
+        "generate_gaussian_kernels",
+        "generate_gaussian_images",
+        "generate_DoG_images",
+        "find_scale_space_extrema",
+        "localize_extremum_via_quadratic_fit",
+        "compute_keypoints_with_orientations",
+        "compare_keypoints",
+        "remove_duplicate_keypoints",
+        "convert_keypoints_to_input_image_size",
+        "unpack_octave",
+        "generate_descriptors",
+        "is_pixel_an_extremum",
+    ):
+        assert callable(getattr(sift_impl, name)), name
+
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for script in (
+        "image_stitching_harris.py",
+        "image_stitching_sift.py",
+        "sift_visualizeUI.py",
+        "harris_visualizeUI.py",
+    ):
+        py_compile.compile(os.path.join(root, script), doraise=True)
