@@ -127,3 +127,83 @@ def test_pipeline_host_compose_matches_device(extra_env, monkeypatch, tmp_path):
     _assert_blend_parity(hostc.mosaic, base.mosaic)
     assert base.panorama.shape == hostc.panorama.shape
     _assert_blend_parity(hostc.panorama, base.panorama)
+
+
+def test_plan_patch_point_translate_resume():
+    """A one-pair change patches: translated prefix + suffix refold is
+    byte-identical to a full fold of the final plan (incl. the drift
+    coupling that moves every dy by delta/(N-1))."""
+    from vfx_image_stitching_tpu.compose.host import (
+        compose_mosaic_host_prefix,
+        plan_patch_point,
+        resume_compose_host,
+        translate_prefix,
+    )
+    from vfx_image_stitching_tpu.estimate.drift import correct_drift
+
+    rng = np.random.default_rng(7)
+    n, h, w = 6, 36, 48
+    images = list(_rand_images(rng, n, h, w))
+    raw = [(30.0, 1.2), (28.0, -0.8), (31.0, 2.2), (27.0, 1.1),
+           (29.0, -1.3)]
+    pairs = []
+    for i, (dx, dy) in enumerate(raw):
+        xa, ya = 20 + i, 10 + i
+        pairs.append(((float(xa), float(ya)), (xa - dx, ya - round(dy))))
+    # escalation changes pair 3's shift and winning pair
+    changed = 3
+    raw_f = list(raw)
+    raw_f[changed] = (24.0, 2.1)
+    pairs_f = list(pairs)
+    pairs_f[changed] = ((21.0, 12.0), (21.0 - 24.0, 12.0 - 2.0))
+
+    spec_plan = plan_compose(
+        h, w, n, [True] * n, correct_drift(raw, n), pairs
+    )
+    final_plan = plan_compose(
+        h, w, n, [True] * n, correct_drift(raw_f, n), pairs_f
+    )
+    full = compose_mosaic_host(images, final_plan)
+
+    patch = plan_patch_point(spec_plan, final_plan)
+    assert patch is not None
+    j, dty, dtx = patch
+    # steps fold images 1..n-1; pair `changed` feeds the step of image
+    # changed+1 which is step index `changed` — the prefix before it
+    # must match up to the uniform translation
+    assert j == changed
+    snap_step = changed  # snapshot where the pipeline would place it
+    canvas, occ = compose_mosaic_host_prefix(images, spec_plan, snap_step)
+    canvas, occ = translate_prefix(canvas, occ, final_plan, dty, dtx)
+    patched = resume_compose_host(canvas, occ, images, final_plan, snap_step)
+    np.testing.assert_array_equal(patched, full)
+    # confirmed-plan case: patch is the whole plan, zero delta
+    same = plan_patch_point(final_plan, final_plan)
+    assert same == (len(final_plan.steps), 0, 0)
+
+
+def test_plan_patch_point_rejects_nonuniform_prefix():
+    """A rounding flip in an early step must shrink the reusable prefix
+    (and a full refold must remain the fallback)."""
+    from vfx_image_stitching_tpu.compose.host import plan_patch_point
+
+    n, h, w = 5, 36, 48
+    raw = [(30.0, 0.5), (28.0, 1.0), (31.0, 2.0), (27.0, 1.0)]
+    pairs = []
+    for i, (dx, dy) in enumerate(raw):
+        xa, ya = 20 + i, 10 + i
+        pairs.append(((float(xa), float(ya)), (xa - dx, ya - round(dy))))
+    # dy=0.5 in pair 0 sits on the rounding knife edge: a drift change
+    # flips its rounded placement, so the prefix ends at step 0
+    raw_f = list(raw)
+    raw_f[3] = (27.0, 5.0)
+    from vfx_image_stitching_tpu.estimate.drift import correct_drift
+
+    spec_plan = plan_compose(h, w, n, [True] * n, correct_drift(raw, n),
+                             pairs)
+    final_plan = plan_compose(h, w, n, [True] * n, correct_drift(raw_f, n),
+                              pairs)
+    patch = plan_patch_point(spec_plan, final_plan)
+    assert patch is not None
+    j, _, _ = patch
+    assert j < 3

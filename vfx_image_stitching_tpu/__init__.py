@@ -34,6 +34,14 @@ from vfx_image_stitching_tpu.config import (
     StitchConfig,
 )
 from vfx_image_stitching_tpu.io import read_pano_data, load_dataset
+from vfx_image_stitching_tpu.utils.cache import ensure_compilation_cache
+
+# This harness's sitecustomize imports jax before user code, so the
+# JAX_COMPILATION_CACHE_DIR env var never reaches jax's config — set it
+# here (no-op if the user already configured a cache dir).  Cuts every
+# later process's cold start from minutes of remote compiles to seconds
+# (docs/COLDSTART_r04.json).
+ensure_compilation_cache()
 
 __version__ = "0.1.0"
 

@@ -83,6 +83,7 @@ def stitch_many(
     gray = os.environ.get("VFX_HOST_COMPOSE", "1") == "1"
     host_project = gray and os.environ.get("VFX_HOST_PROJECT", "1") == "1"
     staged_by_idx: Dict[int, tuple] = {}
+    dispatch_ts: Dict[int, dict] = {}
     with cf.ThreadPoolExecutor(max_workers=max(1, len(folders))) as pool:
         loads = {
             pool.submit(load_dataset_device, f, with_host=True, gray=gray,
@@ -91,6 +92,7 @@ def stitch_many(
         }
         for fut in cf.as_completed(loads):
             i = loads[fut]
+            tl = time.time()
             batch, valid, focals, shape, host_imgs = fut.result()
             cyl = (
                 batch if host_project  # loader projected on host
@@ -102,14 +104,20 @@ def stitch_many(
             staged_by_idx[i] = (
                 cyl, valid, shape, feats, pair_out, host_imgs, focals
             )
+            # host-clock breadcrumbs for the multi phase budget: when
+            # this dataset's load landed and how long its (async)
+            # dispatch chain took to issue
+            dispatch_ts[i] = {
+                "load_done_s": tl - t0,
+                "dispatch_s": time.time() - tl,
+            }
     staged = [staged_by_idx[i] for i in range(len(folders))]
 
     # phase 3+4: finalize each dataset in order (first pull syncs that
     # dataset only; later datasets keep computing behind it)
     results: Dict[str, StitchResult] = {}
-    for name, (cyl, valid, (h, w, _c), feats, pair_out, host_imgs, focals) in (
-        zip(names, staged)
-    ):
+    for di, (name, (cyl, valid, (h, w, _c), feats, pair_out, host_imgs,
+                    focals)) in enumerate(zip(names, staged)):
         td0 = time.time()
         xy, descs, valid_kp, meta, stats = feats
         margin = margins.get(name, DEFAULT_CROP_MARGINS.get(name, 15))
@@ -118,13 +126,17 @@ def stitch_many(
             h, w, margin, host_images=host_imgs, focals=focals,
         )
         td1 = time.time()
+        timings = {"finalize_compose": td1 - td0, "total": td1 - t0}
+        timings.update(dispatch_ts.get(di, {}))
+        timings["finalize_start_s"] = td0 - t0
+        timings.update(fin.detail)  # bundle_pull/escalate/fold phases
         results[name] = StitchResult(
             panorama=fin.panorama,
             mosaic=fin.mosaic,
             shifts=fin.shifts,
             corrected_shifts=fin.corrected,
             pairs=fin.pairs,
-            timings={"finalize_compose": td1 - td0, "total": td1 - t0},
+            timings=timings,
         )
         if verbose:
             print(f"{name}: {fin.panorama.shape} in {td1 - td0:.2f} s "

@@ -460,12 +460,15 @@ def finalize_pairwise_shifts(
     ``escalate_s`` (host strict re-decisions incl. the escalation-input
     bundle pull).
 
-    ``pre_escalate_cb(shifts_np, pa_np, pb_np, any_np)`` — when given —
-    fires with COPIES of the pre-escalation device decisions just before
-    the (host, tens-of-ms) escalation loop starts, so a caller can
-    speculatively begin composing while escalation re-derives the rare
-    knife-edge pairs (finalize_to_panorama overlaps the host compose
-    fold this way; escalation almost always confirms the device result).
+    ``pre_escalate_cb(shifts_np, pa_np, pb_np, any_np, esc_rows)`` —
+    when given — fires with COPIES of the pre-escalation device
+    decisions plus the list of pair rows about to be escalated, just
+    before the (host, tens-of-ms) escalation loop starts, so a caller
+    can speculatively begin composing while escalation re-derives the
+    rare knife-edge pairs (finalize_to_panorama overlaps the host
+    compose fold this way — escalation almost always confirms the
+    device result, and ``esc_rows`` bounds which fold bands it could
+    ever change, enabling the snapshot/patch resume).
     """
     mcfg = cfg.match()
     (
@@ -596,9 +599,14 @@ def finalize_pairwise_shifts(
     # re-decided on host with reference-exact arithmetic + an f64 re-vote.
     # The inputs were already pulled in the single bundle above.
     if esc_present and nmaterial_np.any():
+        esc_rows = [
+            int(i) for i in np.nonzero(nmaterial_np > 0)[0]
+            if valid[int(i)] and valid[int(i) + 1]
+        ]
         if pre_escalate_cb is not None:
             pre_escalate_cb(
-                shifts_np.copy(), pa_np.copy(), pb_np.copy(), any_np.copy()
+                shifts_np.copy(), pa_np.copy(), pb_np.copy(), any_np.copy(),
+                esc_rows,
             )
         _te0 = time.time()
         from vfx_image_stitching_tpu.models.sift.strict import escalate_pair
@@ -728,10 +736,6 @@ def finalize_pairwise_shifts(
                 ransac_thresh=mcfg.ransac_thresh,
             )
 
-        esc_rows = [
-            int(i) for i in np.nonzero(nmaterial_np > 0)[0]
-            if valid[int(i)] and valid[int(i) + 1]
-        ]
         # pairs are independent (each touches only its own row); run them
         # in a small thread pool — host pyramid builds dominate the cost
         # and the strict caches dedupe shared images (strict._pyramid_for)
@@ -880,35 +884,54 @@ def finalize_to_panorama(
     # Speculative compose: the host fold needs only the shifts, and the
     # escalation loop (tens of ms) usually CONFIRMS the device decisions
     # — so when escalation is about to run, a worker thread starts
-    # drift/plan/fold from the pre-escalation arrays in parallel.  If
-    # escalation changes any pair the speculative mosaic is discarded
-    # and the fold reruns serially; the wasted fold also CONTENDS with
-    # the threaded escalation (measured +0.05 s on parrington, whose
-    # pair-13 knife edge genuinely changes every run — docs/DEVNOTES.md
-    # r3 tail A/B), so dataset keys that missed are remembered and skip
-    # speculation on later runs (re-enabled if they start confirming).
+    # drift/plan/fold from the pre-escalation arrays in parallel.
+    #
+    # Escalation can only change pairs in ``esc_rows`` (the material
+    # knife edges), and the fold is a left-to-right band fold, so the
+    # thread SNAPSHOTS the canvas just before every step a material
+    # pair feeds.  If escalation changes an outcome, the final plan
+    # usually differs from the speculative one only by a UNIFORM
+    # translation of the prefix (the changed step's frame suffix-sum)
+    # plus changed suffix steps — plan_patch_point verifies this
+    # exactly — and the longest still-valid snapshot is translated and
+    # resumed instead of refolding all bands (full refold stays as the
+    # fallback).  Dataset keys whose
+    # escalation changed an outcome before (parrington's pair-13 knife
+    # edge flips every run — docs/DEVNOTES.md) speculate the PREFIX only
+    # — the suffix fold would be discarded anyway and contends with the
+    # threaded escalation — and re-enable full speculation if they
+    # start confirming.
+    # Speculation is a PARALLELISM play: the spec fold thread must run
+    # beside the escalation threads.  On a 1-core host they time-slice
+    # instead — measured on-chip (docs/CHIP_AB_R4A.json, 1-vCPU box):
+    # the fold win (0.044 -> 0.019) comes back as escalate/join
+    # inflation and the wall is ~0.04 s WORSE — so the default follows
+    # the host's parallelism; VFX_SPEC_COMPOSE=0/1 pins it either way.
     spec: dict = {}
+    spec_default = "1" if (os.cpu_count() or 1) >= 2 else "0"
     spec_enabled = (
-        host_compose and os.environ.get("VFX_SPEC_COMPOSE", "1") == "1"
+        host_compose
+        and os.environ.get("VFX_SPEC_COMPOSE", spec_default) == "1"
     )
 
-    def _pre_escalate(shifts_np, pa_np, pb_np, any_np):
+    def _pre_escalate(shifts_np, pa_np, pb_np, any_np, esc_rows=None):
         if not spec_enabled:
             return
         import threading
 
         from vfx_image_stitching_tpu.compose.host import (
-            compose_mosaic_host,
+            compose_mosaic_host_prefix,
             content_bounds_host,
+            resume_compose_host,
         )
 
         key = (
             shifts_np.tobytes(), pa_np.tobytes(), tuple(valid), n_imgs
         )
         spec["key"] = key
-        spec["pre"] = (shifts_np, pa_np, pb_np, any_np)
-        if key in _SPEC_MISS_KEYS:
-            return  # escalation changed this dataset's outcome last time
+        prefix_only = key in _SPEC_MISS_KEYS
+        spec["prefix_only"] = prefix_only
+        esc_rows_l = sorted(esc_rows) if esc_rows else [0]
 
         def run():
             try:
@@ -919,14 +942,58 @@ def finalize_to_panorama(
                 plan_s = plan_compose(
                     h, w, n_imgs, list(valid), corrected_s, pairs_s
                 )
+                # snapshot boundaries: pair r feeds the step folding
+                # image r+1, so the canvas just before that step (i.e.
+                # after all steps with img_index <= r) is reusable when
+                # escalation confirms every pair < r and earlier steps
+                # move only by the uniform drift/frame delta
+                # plan_patch_point checks for.  One snapshot per
+                # material pair: escalation usually changes at most ONE
+                # of them, so the patch resumes from the longest
+                # still-valid prefix.  (esc_rows unknown -> a single
+                # image-0 snapshot; resume == refold.)
+                #
+                # Steady state (prefix_only): the miss memory stores
+                # which boundary the last patch resumed from, so only
+                # the prefix up to THAT boundary folds — no snapshot
+                # copies, no wasted suffix fold.
+                if prefix_only:
+                    n_steps = len(plan_s.steps)
+                    remembered = int(_SPEC_MISS_KEYS.get(spec["key"], 0))
+                    bounds_steps = [max(0, min(remembered, n_steps))]
+                else:
+                    bounds_steps = sorted({
+                        sum(1 for s in plan_s.steps if s.img_index <= r)
+                        for r in esc_rows_l
+                    })
                 imgs_s = {i: f.result() for i, f in proj_futs.items()}
-                mosaic_s = compose_mosaic_host(imgs_s, plan_s)
-                bounds_s = content_bounds_host(mosaic_s, cfg.black_threshold)
+                snapshots = {}
+                canvas, occ = compose_mosaic_host_prefix(
+                    imgs_s, plan_s, bounds_steps[0]
+                )
+                if prefix_only:
+                    # the live state IS the single snapshot (no copy —
+                    # nothing folds past it)
+                    snapshots[bounds_steps[0]] = (canvas, occ)
+                    spec.update(
+                        shifts=shifts_s, pairs=pairs_s,
+                        corrected=corrected_s, plan=plan_s,
+                        imgs=imgs_s, snapshots=snapshots,
+                    )
+                    return
+                snapshots[bounds_steps[0]] = (canvas.copy(), occ.copy())
+                for b0, b1 in zip(bounds_steps, bounds_steps[1:]):
+                    resume_compose_host(canvas, occ, imgs_s, plan_s, b0, b1)
+                    snapshots[b1] = (canvas.copy(), occ.copy())
                 spec.update(
                     shifts=shifts_s, pairs=pairs_s, corrected=corrected_s,
-                    plan=plan_s, imgs=imgs_s, mosaic=mosaic_s,
-                    bounds=bounds_s,
+                    plan=plan_s, imgs=imgs_s, snapshots=snapshots,
                 )
+                mosaic_s = resume_compose_host(
+                    canvas, occ, imgs_s, plan_s, bounds_steps[-1]
+                )
+                bounds_s = content_bounds_host(mosaic_s, cfg.black_threshold)
+                spec.update(mosaic=mosaic_s, bounds=bounds_s)
             except Exception as exc:  # pragma: no cover - spec is advisory
                 spec["err"] = exc
 
@@ -947,30 +1014,32 @@ def finalize_to_panorama(
         from vfx_image_stitching_tpu.compose.host import (
             compose_mosaic_host,
             content_bounds_host,
+            plan_patch_point,
+            resume_compose_host,
+            translate_prefix,
         )
         from vfx_image_stitching_tpu.compose.crop import apply_crop
 
         spec_hit = False
         if "thread" in spec:
             spec["thread"].join()
-            spec_hit = (
+            spec_ok = (
                 "err" not in spec
                 and spec.get("shifts") == shifts
                 and spec.get("pairs") == pairs
             )
-            if not spec_hit and "key" in spec:
-                while len(_SPEC_MISS_KEYS) >= _SPEC_MISS_MAX:
-                    _SPEC_MISS_KEYS.pop(next(iter(_SPEC_MISS_KEYS)))
-                _SPEC_MISS_KEYS[spec["key"]] = True
-        elif "pre" in spec and spec.get("key") in _SPEC_MISS_KEYS:
-            # speculation was skipped by miss memory: if escalation
-            # actually confirmed this time, re-enable for the next run
-            s_pre, pa_pre, pb_pre, any_pre = spec["pre"]
-            shifts_pre, pairs_pre = _lists_from_arrays(
-                s_pre, pa_pre, pb_pre, any_pre, list(valid), n_imgs
-            )
-            if shifts_pre == shifts and pairs_pre == pairs:
-                _SPEC_MISS_KEYS.pop(spec["key"], None)
+            spec_hit = spec_ok and "mosaic" in spec
+            if "key" in spec:
+                if spec_ok:
+                    # confirmed: re-enable full speculation next run
+                    _SPEC_MISS_KEYS.pop(spec["key"], None)
+                else:
+                    while len(_SPEC_MISS_KEYS) >= _SPEC_MISS_MAX:
+                        _SPEC_MISS_KEYS.pop(next(iter(_SPEC_MISS_KEYS)))
+                    # 0 = "escalation changes this dataset"; overwritten
+                    # below with the patch boundary so the steady state
+                    # folds exactly the reusable prefix
+                    _SPEC_MISS_KEYS[spec["key"]] = 0
         detail["spec_compose"] = bool(spec_hit)
         if spec_hit:
             imgs_host = spec["imgs"]
@@ -988,10 +1057,46 @@ def finalize_to_panorama(
                 finalize_s=t1 - t0, compose_s=t2 - t1, crop_s=t3 - t2,
                 detail=detail,
             )
-        imgs_host = {i: f.result() for i, f in proj_futs.items()}
+        imgs_host = (
+            spec["imgs"] if "imgs" in spec and "err" not in spec
+            else {i: f.result() for i, f in proj_futs.items()}
+        )
         t1b = time.time()
         detail["plan_dispatch_s"] = t1b - t1
-        mosaic = compose_mosaic_host(imgs_host, plan)
+        # patch path: escalation changed the plan, but the speculative
+        # fold snapshotted the canvas before every step a material pair
+        # feeds; any snapshot whose prefix matches the final plan's (up
+        # to a uniform translation — plan_patch_point) is reusable, so
+        # only the bands after the longest still-valid snapshot refold
+        mosaic = None
+        if spec.get("snapshots") and "err" not in spec:
+            patch = plan_patch_point(spec["plan"], plan)
+            if patch is not None:
+                j, dty, dtx = patch
+                usable = [b for b in spec["snapshots"] if b <= j]
+                if usable:
+                    snap_step = max(usable)
+                    canvas, occ = spec["snapshots"][snap_step]
+                    if (
+                        (dty, dtx) != (0, 0)
+                        or canvas.shape[:2] != (plan.height, plan.width)
+                    ):
+                        canvas, occ = translate_prefix(
+                            canvas, occ, plan, dty, dtx
+                        )
+                    mosaic = resume_compose_host(
+                        canvas, occ, imgs_host, plan, snap_step
+                    )
+                    detail["spec_patch"] = snap_step
+                    if spec.get("key") in _SPEC_MISS_KEYS:
+                        _SPEC_MISS_KEYS[spec["key"]] = snap_step
+        if mosaic is None:
+            detail["spec_patch"] = -1
+            if spec.get("key") in _SPEC_MISS_KEYS:
+                # remembered boundary unusable this run: fall back to a
+                # trivial prefix until the dataset's pattern re-settles
+                _SPEC_MISS_KEYS[spec["key"]] = 0
+            mosaic = compose_mosaic_host(imgs_host, plan)
         bounds = content_bounds_host(mosaic, cfg.black_threshold)
         t2 = time.time()
         detail["mosaic_pull_s"] = t2 - t1b  # host fold (no transfer)
