@@ -19,7 +19,7 @@ def _fake_finalize(final_shift, cb_shift):
 
     def fake(cyl, xy, valid_kp, meta, stats, pair_out, valid, cfg,
              host_images=None, focals=None, timings_out=None,
-             pre_escalate_cb=None):
+             pre_escalate_cb=None, bundle=None):
         n = int(cyl.shape[0])
         shifts_np = np.array([cb_shift], np.float64)
         pa = np.array([[5.0, 4.0]])
@@ -120,7 +120,7 @@ def _fake_finalize_multi(pre_shifts, final_shifts, esc_rows, pairs):
 
     def fake(cyl, xy, valid_kp, meta, stats, pair_out, valid, cfg,
              host_images=None, focals=None, timings_out=None,
-             pre_escalate_cb=None):
+             pre_escalate_cb=None, bundle=None):
         n = int(cyl.shape[0])
         pa = np.array([p[0] for p in pairs], np.float64)
         pb = np.array([p[1] for p in pairs], np.float64)

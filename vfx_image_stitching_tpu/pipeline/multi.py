@@ -7,14 +7,17 @@ queue full across datasets:
 
   1. every dataset's JPEG decode runs in parallel threads, each image
      ``device_put`` as soon as it decodes (uploads hide behind decodes);
-  2. cylindrical projection, feature extraction and the pair step are
-     *dispatched* for every dataset before any result is pulled — JAX
+  2. cylindrical projection, feature extraction, the pair step AND the
+     result bundle (with its d2h copy started) are *dispatched* for each
+     dataset the moment its load lands, from a staging worker — JAX
      dispatch is asynchronous, so dataset B's features run on device
      while the host finalizes dataset A; same-shape datasets
      (parrington/grail: both 18x384x512) share compiled executables;
-  3. per dataset, in order: pull the pair results (the only sync),
-     escalate knife edges, plan the canvas on host, dispatch compose;
-  4. mosaics are pulled once, cropped, and returned.
+  3. per dataset, in input order, STARTING as soon as that dataset is
+     staged (the staging worker keeps dispatching later datasets
+     underneath): pull the prefetched result bundle (the only sync),
+     escalate knife edges, plan + fold the mosaic on host;
+  4. panoramas are cropped and returned.
 
 For multi-chip scale-out the same shift stage runs under the 2-D
 (pano, images) mesh (parallel/mesh.py: sharded_multi_pano_shifts);
@@ -27,6 +30,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import os
+import threading
 import time
 from typing import Dict, Optional, Sequence
 
@@ -35,6 +39,7 @@ from vfx_image_stitching_tpu.pipeline.stitch import (
     StitchResult,
     _resolve_cfg,
     dispatch_pair_step,
+    dispatch_result_bundle,
     extract_features,
 )
 
@@ -84,63 +89,92 @@ def stitch_many(
     host_project = gray and os.environ.get("VFX_HOST_PROJECT", "1") == "1"
     staged_by_idx: Dict[int, tuple] = {}
     dispatch_ts: Dict[int, dict] = {}
-    with cf.ThreadPoolExecutor(max_workers=max(1, len(folders))) as pool:
+    staged_ev = {i: threading.Event() for i in range(len(folders))}
+
+    def _stage_all(loads) -> None:
+        # runs in its own worker: dispatches each dataset's device chain
+        # as soon as its load lands, and keeps dispatching LATER datasets
+        # while the main thread already finalizes earlier ones (the
+        # finalize's device waits release the GIL)
+        try:
+            for fut in cf.as_completed(loads):
+                i = loads[fut]
+                tl = time.time()
+                batch, valid, focals, shape, host_imgs = fut.result()
+                cyl = (
+                    batch if host_project  # loader projected on host
+                    else cylindrical_project_batch(batch, tuple(focals))
+                )
+                feats = extract_features(cyl, cfg)
+                xy, descs, valid_kp, meta, stats = feats
+                pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
+                # pack the finalize bundle NOW and start its d2h copy:
+                # sub-MB results cross the tunneled link as soon as this
+                # dataset's device work finishes instead of queueing
+                # behind later datasets' multi-MB uploads
+                bundle = dispatch_result_bundle(
+                    xy, valid_kp, meta, stats, pair_out, cfg
+                )
+                staged_by_idx[i] = (
+                    cyl, valid, shape, feats, pair_out, host_imgs, focals,
+                    bundle,
+                )
+                # host-clock breadcrumbs for the multi phase budget: when
+                # this dataset's load landed and how long its (async)
+                # dispatch chain took to issue
+                dispatch_ts[i] = {
+                    "load_done_s": tl - t0,
+                    "dispatch_s": time.time() - tl,
+                }
+                staged_ev[i].set()
+        finally:
+            for ev in staged_ev.values():  # unblock on error paths
+                ev.set()
+
+    # phase 3+4: finalize each dataset in input order, each STARTING as
+    # soon as its own stage lands (no barrier on the slowest dataset's
+    # decode — round 3 waited for all loads before the first finalize,
+    # 0.68 s of the 1.32 s wall, docs/PHASE_BUDGET_MULTI_r04.json)
+    results: Dict[str, StitchResult] = {}
+    with cf.ThreadPoolExecutor(max_workers=len(folders) + 1) as pool:
         loads = {
             pool.submit(load_dataset_device, f, with_host=True, gray=gray,
                         host_project=host_project): i
             for i, f in enumerate(folders)
         }
-        for fut in cf.as_completed(loads):
-            i = loads[fut]
-            tl = time.time()
-            batch, valid, focals, shape, host_imgs = fut.result()
-            cyl = (
-                batch if host_project  # loader projected on host
-                else cylindrical_project_batch(batch, tuple(focals))
-            )
-            feats = extract_features(cyl, cfg)
+        stager = pool.submit(_stage_all, loads)
+        for di, name in enumerate(names):
+            staged_ev[di].wait()
+            if di not in staged_by_idx:
+                stager.result()  # surfaces the staging exception
+                raise RuntimeError(f"staging produced no result for {name}")
+            (cyl, valid, (h, w, _c), feats, pair_out, host_imgs, focals,
+             bundle) = staged_by_idx[di]
+            td0 = time.time()
             xy, descs, valid_kp, meta, stats = feats
-            pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
-            staged_by_idx[i] = (
-                cyl, valid, shape, feats, pair_out, host_imgs, focals
+            margin = margins.get(name, DEFAULT_CROP_MARGINS.get(name, 15))
+            fin = finalize_to_panorama(
+                cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
+                h, w, margin, host_images=host_imgs, focals=focals,
+                bundle=bundle,
             )
-            # host-clock breadcrumbs for the multi phase budget: when
-            # this dataset's load landed and how long its (async)
-            # dispatch chain took to issue
-            dispatch_ts[i] = {
-                "load_done_s": tl - t0,
-                "dispatch_s": time.time() - tl,
-            }
-    staged = [staged_by_idx[i] for i in range(len(folders))]
-
-    # phase 3+4: finalize each dataset in order (first pull syncs that
-    # dataset only; later datasets keep computing behind it)
-    results: Dict[str, StitchResult] = {}
-    for di, (name, (cyl, valid, (h, w, _c), feats, pair_out, host_imgs,
-                    focals)) in enumerate(zip(names, staged)):
-        td0 = time.time()
-        xy, descs, valid_kp, meta, stats = feats
-        margin = margins.get(name, DEFAULT_CROP_MARGINS.get(name, 15))
-        fin = finalize_to_panorama(
-            cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
-            h, w, margin, host_images=host_imgs, focals=focals,
-        )
-        td1 = time.time()
-        timings = {"finalize_compose": td1 - td0, "total": td1 - t0}
-        timings.update(dispatch_ts.get(di, {}))
-        timings["finalize_start_s"] = td0 - t0
-        timings.update(fin.detail)  # bundle_pull/escalate/fold phases
-        results[name] = StitchResult(
-            panorama=fin.panorama,
-            mosaic=fin.mosaic,
-            shifts=fin.shifts,
-            corrected_shifts=fin.corrected,
-            pairs=fin.pairs,
-            timings=timings,
-        )
-        if verbose:
-            print(f"{name}: {fin.panorama.shape} in {td1 - td0:.2f} s "
-                  f"(cumulative {td1 - t0:.2f} s)")
+            td1 = time.time()
+            timings = {"finalize_compose": td1 - td0, "total": td1 - t0}
+            timings.update(dispatch_ts.get(di, {}))
+            timings["finalize_start_s"] = td0 - t0
+            timings.update(fin.detail)  # bundle_pull/escalate/fold phases
+            results[name] = StitchResult(
+                panorama=fin.panorama,
+                mosaic=fin.mosaic,
+                shifts=fin.shifts,
+                corrected_shifts=fin.corrected,
+                pairs=fin.pairs,
+                timings=timings,
+            )
+            if verbose:
+                print(f"{name}: {fin.panorama.shape} in {td1 - td0:.2f} s "
+                      f"(cumulative {td1 - t0:.2f} s)")
+        stager.result()
 
     if verbose:
         print(f"stitched {len(folders)} panoramas in {time.time() - t0:.2f} s")

@@ -423,6 +423,76 @@ def dispatch_pair_step(xy, descs, valid_kp, cfg: StitchConfig):
     )
 
 
+def _build_bundle(xy, valid_kp, meta, stats, pair_out, cfg: StitchConfig):
+    """Pack the finalize result bundle on device (async dispatch).
+
+    Returns ``(bundle_dev, info)`` where ``info`` records the layout
+    decisions (esc_present / compact / caps) so a bundle packed at
+    dispatch time can be safely matched against the consumer's expected
+    layout in :func:`finalize_pairwise_shifts`.
+    """
+    mcfg = cfg.match()
+    (
+        shifts_d, pa_d, pb_d, any_d, counts_d,
+        bestb_d, candidx_d, canddist_d, candinm_d, matched_d, bflip_d,
+        bswap_d, material_d, nmaterial_d, maxinm_d,
+    ) = pair_out
+    head_f32 = [
+        shifts_d, pa_d, pb_d, any_d, counts_d, nmaterial_d, maxinm_d,
+    ]
+    for key in sorted(stats) if stats is not None else []:
+        head_f32.append(stats[key])
+    esc_present = meta is not None and mcfg.borderline_margin > 0
+    compact = esc_present and os.environ.get("VFX_ESC_COMPACT", "1") == "1"
+    info = dict(esc_present=esc_present, compact=compact)
+    if compact:
+        cap_meta = int(os.environ.get("VFX_ESC_CAP_META", _ESC_CAP_META))
+        cap_cand = int(os.environ.get("VFX_ESC_CAP_CAND", _ESC_CAP_CAND))
+        info.update(cap_meta=cap_meta, cap_cand=cap_cand)
+        bundle_dev = _pack_bundle_esc(
+            head_f32, xy, meta, valid_kp, bestb_d, candidx_d, candinm_d,
+            matched_d, bflip_d, bswap_d, material_d,
+            cap_meta=cap_meta, cap_cand=cap_cand,
+        )
+        return bundle_dev, info
+    f32_parts, u16_parts, u8_parts = list(head_f32), [], []
+    if esc_present:
+        # legacy full-shape escalation block (VFX_ESC_COMPACT=0):
+        # octave packs into < 2^24 so the f32 ride is exact; the cell
+        # coordinates (ix/iy/jx/jy/jl) and all B indices fit u16
+        f32_parts.append(xy)
+        for key in _META_F32:
+            f32_parts.append(meta[key])
+        for key in _META_U16:
+            u16_parts.append(meta[key])
+        u16_parts.append(bestb_d)
+        u16_parts.append(candidx_d)
+        for arr in (valid_kp, candinm_d, matched_d, bflip_d, bswap_d,
+                    material_d):
+            u8_parts.append(arr)
+    return _pack_bundle(f32_parts, u16_parts, u8_parts), info
+
+
+def dispatch_result_bundle(xy, valid_kp, meta, stats, pair_out, cfg):
+    """Pack the result bundle and START its device->host copy (async).
+
+    For pipelined multi-dataset runs (pipeline/multi.py): issuing the
+    d2h copy at DISPATCH time lets a small (sub-MB) bundle cross the
+    tunneled link as soon as its device work finishes, instead of
+    queueing behind later datasets' multi-MB uploads — wind's finalize
+    spent 0.295 s in that queue (docs/PHASE_BUDGET_MULTI_r04.json).
+    Returns an opaque handle for ``finalize_pairwise_shifts(bundle=)``;
+    the packed layout is recorded so the consumer repacks instead if
+    its expected layout ever differs.
+    """
+    bundle_dev, info = _build_bundle(xy, valid_kp, meta, stats, pair_out, cfg)
+    try:
+        bundle_dev.copy_to_host_async()
+    except Exception:  # pragma: no cover - backend-optional fast path
+        pass
+    return bundle_dev, info
+
+
 def compute_pairwise_shifts(
     cyl: jnp.ndarray,
     valid: Sequence[bool],
@@ -451,6 +521,7 @@ def finalize_pairwise_shifts(
     focals: Optional[Sequence[float]] = None,
     timings_out: Optional[dict] = None,
     pre_escalate_cb=None,
+    bundle=None,
 ) -> Tuple[List[Tuple[float, float]], List[Optional[tuple]], np.ndarray]:
     """Pull pair results, warn on capacity hits, escalate knife edges.
 
@@ -459,6 +530,10 @@ def finalize_pairwise_shifts(
     for extract + pair compute and the tunneled transfer) and
     ``escalate_s`` (host strict re-decisions incl. the escalation-input
     bundle pull).
+
+    ``bundle`` — an optional :func:`dispatch_result_bundle` handle whose
+    d2h copy was started at dispatch time; used (skipping the pack here)
+    when its recorded layout matches this call's expected one.
 
     ``pre_escalate_cb(shifts_np, pa_np, pb_np, any_np, esc_rows)`` —
     when given — fires with COPIES of the pre-escalation device
@@ -503,31 +578,33 @@ def finalize_pairwise_shifts(
         n_img, kcap = xy.shape[:2]
         n_cand = int(candidx_d.shape[-1])
     f32_parts, u16_parts, u8_parts = list(head_f32), [], []
-    _tb0 = time.time()
+    expected = dict(esc_present=esc_present, compact=compact)
     if compact:
         cap_meta = int(os.environ.get("VFX_ESC_CAP_META", _ESC_CAP_META))
         cap_cand = int(os.environ.get("VFX_ESC_CAP_CAND", _ESC_CAP_CAND))
-        bundle_u8 = _pull_bundle(_pack_bundle_esc(
-            head_f32, xy, meta, valid_kp, bestb_d, candidx_d, candinm_d,
-            matched_d, bflip_d, bswap_d, material_d,
-            cap_meta=cap_meta, cap_cand=cap_cand,
-        ))
+        expected.update(cap_meta=cap_meta, cap_cand=cap_cand)
+    elif esc_present:
+        # legacy full-shape escalation block (VFX_ESC_COMPACT=0): the
+        # parts lists double as the unpack size map below; packing
+        # itself happens in _build_bundle
+        f32_parts.append(xy)
+        for key in _META_F32:
+            f32_parts.append(meta[key])
+        for key in _META_U16:
+            u16_parts.append(meta[key])
+        u16_parts.append(bestb_d)
+        u16_parts.append(candidx_d)
+        for arr in (valid_kp, candinm_d, matched_d, bflip_d, bswap_d,
+                    material_d):
+            u8_parts.append(arr)
+    _tb0 = time.time()
+    if bundle is not None and bundle[1] == expected:
+        bundle_dev = bundle[0]  # packed + d2h-prefetched at dispatch time
     else:
-        if esc_present:
-            # legacy full-shape escalation block (VFX_ESC_COMPACT=0):
-            # octave packs into < 2^24 so the f32 ride is exact; the cell
-            # coordinates (ix/iy/jx/jy/jl) and all B indices fit u16
-            f32_parts.append(xy)
-            for key in _META_F32:
-                f32_parts.append(meta[key])
-            for key in _META_U16:
-                u16_parts.append(meta[key])
-            u16_parts.append(bestb_d)
-            u16_parts.append(candidx_d)
-            for arr in (valid_kp, candinm_d, matched_d, bflip_d, bswap_d,
-                        material_d):
-                u8_parts.append(arr)
-        bundle_u8 = _pull_bundle(_pack_bundle(f32_parts, u16_parts, u8_parts))
+        bundle_dev, _ = _build_bundle(
+            xy, valid_kp, meta, stats, pair_out, cfg
+        )
+    bundle_u8 = _pull_bundle(bundle_dev)
     if timings_out is not None:
         timings_out["bundle_pull_s"] = time.time() - _tb0
         timings_out["bundle_bytes"] = int(bundle_u8.nbytes)
@@ -826,6 +903,7 @@ def finalize_to_panorama(
     focals: Optional[Sequence[float]] = None,
     return_steps: bool = False,
     compose_cyl=None,
+    bundle=None,
 ) -> _Finalized:
     """Shared pipeline tail: finalize -> drift -> plan -> compose -> crop.
 
@@ -1005,6 +1083,7 @@ def finalize_to_panorama(
         cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
         host_images=host_images, focals=focals, timings_out=detail,
         pre_escalate_cb=_pre_escalate if spec_enabled else None,
+        bundle=bundle,
     )
     t1 = time.time()
     n = cyl.shape[0]
@@ -1272,6 +1351,10 @@ def _stitch_inner(
 
     xy, descs, valid_kp, meta, stats = _concat_feats(feats_groups)
     pair_out = dispatch_pair_step(xy, descs, valid_kp, cfg)
+    # start the result bundle's d2h copy now: on a high-RTT tunneled
+    # link the transfer begins the moment device work finishes instead
+    # of waiting for finalize's pull request (one RTT earlier)
+    bundle = dispatch_result_bundle(xy, valid_kp, meta, stats, pair_out, cfg)
 
     def compose_cyl():
         # per-group projection reuses the device-resident winner stacks
@@ -1301,7 +1384,7 @@ def _stitch_inner(
     fin = finalize_to_panorama(
         cyl, xy, valid_kp, meta, stats, pair_out, list(valid), cfg,
         h, w, margin, host_images=host_imgs, focals=focals,
-        return_steps=return_steps, compose_cyl=compose_cyl,
+        return_steps=return_steps, compose_cyl=compose_cyl, bundle=bundle,
     )
     t2 = t1 + fin.finalize_s
     timings["features_ransac"] = t2 - t1
