@@ -336,18 +336,24 @@ def load_dataset_device_split(
     import concurrent.futures as cf
 
     n = len(resolved)
-    g = pick_group_size(n, group_target)
+    sizes = plan_group_sizes(n, group_target)
+    starts = [0]
+    for s in sizes[:-1]:
+        starts.append(starts[-1] + s)
+    group_of = []
+    for k, s in enumerate(sizes):
+        group_of.extend([k] * s)
     group_upload = os.environ.get("VFX_GRAY_GROUP_UPLOAD", "1") == "1"
     gray_imgs: List[Optional[np.ndarray]] = [None] * n
     host_imgs: List[Optional[np.ndarray]] = [None] * n
     shapes = [None] * n
-    n_groups = -(-n // g)
-    remaining = [min((k + 1) * g, n) - k * g for k in range(n_groups)]
+    n_groups = len(sizes)
+    remaining = list(sizes)
     group_dev: List[Optional[object]] = [None] * n_groups
 
     def _try_put_group(k, ref_shape):
         """Upload group k eagerly if complete and shape-consistent."""
-        lo, hi = k * g, min((k + 1) * g, n)
+        lo, hi = starts[k], starts[k] + sizes[k]
         grp = []
         for i in range(lo, hi):
             if gray_imgs[i] is not None:
@@ -360,7 +366,13 @@ def load_dataset_device_split(
         if on_group is not None:
             on_group(k, group_dev[k], lo, hi, focals)
 
-    with cf.ThreadPoolExecutor(max_workers=min(8, n)) as pool:
+    # Few ORDERED workers instead of 8: decode completion then tracks
+    # submission order (2 at a time on however many cores), so the
+    # ramped first groups actually finish first and the device starts
+    # ~25 ms earlier.  Total decode wall is unchanged — JPEG decode is
+    # CPU-bound, so 8 time-sliced threads finish no sooner than 2.
+    n_workers = int(os.environ.get("VFX_DECODE_WORKERS", "2"))
+    with cf.ThreadPoolExecutor(max_workers=min(n_workers, n)) as pool:
         futs = {pool.submit(load_bgr, p): i for i, p in enumerate(resolved)}
         for fut in cf.as_completed(futs):
             i = futs[fut]
@@ -379,10 +391,10 @@ def load_dataset_device_split(
                 gray_imgs[i] = g_i
                 host_imgs[i] = img
             if group_upload:
-                remaining[i // g] -= 1
+                remaining[group_of[i]] -= 1
                 ref = next((s for s in shapes if s is not None), None)
-                if remaining[i // g] == 0 and ref is not None:
-                    _try_put_group(i // g, ref)
+                if remaining[group_of[i]] == 0 and ref is not None:
+                    _try_put_group(group_of[i], ref)
     shape, valid = _validate_decoded(shapes)
     for i in range(n):
         if gray_imgs[i] is None:
@@ -418,8 +430,39 @@ def load_dataset_device_split(
     if group_upload:
         gray_batches = gray_batches_eager
     else:
-        gray_batches = [gray_stack[a : a + g] for a in range(0, n, g)]
+        gray_batches = [
+            gray_stack[a : a + s] for a, s in zip(starts, sizes)
+        ]
     return gray_batches, rgb_imgs, valid, focals, shape, host_imgs
+
+
+def plan_group_sizes(n: int, target: int = 6) -> List[int]:
+    """Group-size schedule for the pipelined extract-on-load path.
+
+    Uniform ``target``-sized groups gate the device on the first
+    ``target`` JPEG decodes (~40 ms of single-core host work for a
+    6-group) while the device sits idle.  A RAMP — ``[2, 4, target,
+    ...]`` — starts extraction after two decodes; the single-core decode
+    rate (~5.5 ms/img) outruns the extractor (~13 ms/img) from then on,
+    so later, larger groups never starve it.  Only two extra executable
+    shapes (2 and 4) are introduced, shared by every ramped dataset.
+
+    The earlier refutation of a small first group (r3: uniform-6 beat
+    [2, 8, 8], see ``load_dataset_device_grouped``) predates
+    extract-on-load: back then extraction was dispatched only after the
+    WHOLE load, so an early first stack bought nothing and the extra
+    dispatch cost showed.  With per-group dispatch from the loader
+    callback the early start is real (A/B: docs/CHIP_AB_R4B.json).
+
+    Falls back to uniform :func:`pick_group_size` groups when the ramp
+    does not tile ``n`` exactly, or under ``VFX_RAMP_GROUPS=0``.
+    """
+    ramp_on = os.environ.get("VFX_RAMP_GROUPS", "1") == "1"
+    if ramp_on and n >= 2 * target and target >= 3 and n % target == 0:
+        lead = [2, target - 2]
+        return lead + [target] * (n // target - 1)
+    g = pick_group_size(n, target)
+    return [g] * (n // g)
 
 
 def pick_group_size(n: int, target: int = 6) -> int:
