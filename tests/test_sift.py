@@ -262,3 +262,65 @@ def test_localize_split_matches_plain(crop_gray):
         ulp = np.abs(a.view(np.int32).astype(np.int64)
                      - b.view(np.int32).astype(np.int64))
         assert ulp.max(initial=0) <= 4, f"{name} ulp {ulp.max()}"
+
+
+def test_localize_slim_matches_plain(crop_gray):
+    """Slim-state early-exit localization must equal the plain path on
+    every valid row (same contract as the split-mover test: mask +
+    integer fields + positions bit-exact; ``response`` within 4 ulp:
+    its ``val`` dot product FMA-contracts differently in the two
+    executables — measured 1 ulp on 2/57 rows).  The slim loop stores
+    the Newton update and re-derives only the gradient/Hessian/center
+    lanes by regathering the cube at the recorded last-compute cell —
+    bit-stable arithmetic — so any larger divergence is a recorded-cell
+    bug, not float noise."""
+    from vfx_image_stitching_tpu.models.sift.pyramid import (
+        generate_base_image, compute_number_of_octaves,
+        generate_gaussian_kernels, generate_gaussian_images,
+        generate_dog_images,
+    )
+    from vfx_image_stitching_tpu.models.sift.extrema import (
+        extrema_threshold, extract_candidates,
+    )
+    from vfx_image_stitching_tpu.models.sift.localize import (
+        localize_candidates_chunked, localize_candidates_chunked_slim,
+    )
+
+    cfg = SiftConfig()
+    gray = jnp.asarray(crop_gray)
+    base = generate_base_image(gray, cfg.sigma, cfg.assumed_blur)
+    num_octaves = compute_number_of_octaves(base.shape)
+    kernels = generate_gaussian_kernels(cfg.sigma, cfg.num_intervals)
+    pyramid = generate_gaussian_images(base, num_octaves, kernels)
+    dogs = generate_dog_images(pyramid)
+    thresh = extrema_threshold(cfg.contrast_threshold, cfg.num_intervals)
+
+    checked_rows = 0
+    for o in range(num_octaves):
+        dog = dogs[o]
+        h_o, w_o = dog.shape[-2:]
+        cap = min(cfg.capacities.scaled_candidates(o), 3 * h_o * w_o)
+        layer, y, x, cv = extract_candidates(
+            dog, cfg.image_border_width, thresh, cap
+        )
+        plain = localize_candidates_chunked(dog, layer, y, x, cv, o, cfg)
+        slim = localize_candidates_chunked_slim(dog, layer, y, x, cv, o, cfg)
+        vp = np.asarray(plain.valid)
+        np.testing.assert_array_equal(vp, np.asarray(slim.valid))
+        checked_rows += int(vp.sum())
+        for name in plain._fields:
+            a = np.asarray(getattr(plain, name))[vp]
+            b = np.asarray(getattr(slim, name))[vp]
+            if name in ("size", "response"):
+                ulp = np.abs(
+                    a.view(np.int32).astype(np.int64)
+                    - b.view(np.int32).astype(np.int64)
+                )
+                assert ulp.max(initial=0) <= 4, (
+                    f"octave {o} {name} ulp {ulp.max()}"
+                )
+            else:
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"octave {o} {name}"
+                )
+    assert checked_rows > 0

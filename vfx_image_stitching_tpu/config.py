@@ -152,6 +152,15 @@ class SiftConfig:
     # Bit-identical outputs (tests/test_sift.py pins equality);
     # VFX_LOCALIZE_SPLIT=0/1 overrides at the pipeline entry.
     localize_split: bool = False
+    # Slim-state early-exit Newton loop (localize.
+    # localize_candidates_chunked_slim): carries 9 position/flag lanes
+    # instead of 22 through the iteration (results re-derived once at
+    # the last-compute cell) and stops a chunk as soon as its last real
+    # row converges/rejects instead of always running 5 iterations.
+    # Valid-row outputs bit-identical to the plain path (pinned by
+    # tests/test_sift.py); takes precedence over localize_split.
+    # VFX_LOCALIZE_SLIM=0/1 overrides at the pipeline entry.
+    localize_slim: bool = False
 
     @property
     def images_per_octave(self) -> int:

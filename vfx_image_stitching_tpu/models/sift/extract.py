@@ -33,6 +33,7 @@ from vfx_image_stitching_tpu.models.sift.extrema import (
 )
 from vfx_image_stitching_tpu.models.sift.localize import (
     localize_candidates_chunked,
+    localize_candidates_chunked_slim,
     localize_candidates_split_chunked,
     compact_localized,
 )
@@ -88,10 +89,12 @@ def sift_keypoints_and_descriptors(
         layer, y, x, cand_valid = extract_candidates(
             dog, cfg.image_border_width, thresh, cand_cap
         )
-        localize = (
-            localize_candidates_split_chunked
-            if cfg.localize_split else localize_candidates_chunked
-        )
+        if cfg.localize_slim:
+            localize = localize_candidates_chunked_slim
+        elif cfg.localize_split:
+            localize = localize_candidates_split_chunked
+        else:
+            localize = localize_candidates_chunked
         loc = localize(dog, layer, y, x, cand_valid, o, cfg)
         loc_cap = min(caps.scaled_localized(o), cand_cap)
         loc_counts.append(jnp.sum(loc.valid))

@@ -223,6 +223,179 @@ def _make_newton_body(dog: jnp.ndarray, cfg: SiftConfig):
     return body
 
 
+def _make_newton_slim(dog: jnp.ndarray, cfg: SiftConfig):
+    """Early-exit Newton loop over a SLIM 9-lane state.
+
+    The plain body (:func:`_make_newton_body`) carries 13 result lanes
+    (gradient, Hessian, update, center) through every iteration purely
+    so finalization can read the LAST-COMPUTE values — 13 masked selects
+    per iteration whose payload is recomputable.  Here the loop carries
+    position/flag lanes plus the Newton update (x, y, l, cx, cy, cl,
+    ux, uy, us, converged, rejected, alive) and the gradient/Hessian/
+    center lanes are re-derived ONCE after the loop by regathering the
+    cube at the recorded last-compute cell (cl, cy, cx).  Those
+    re-derivations are bit-stable across graphs (pure subtract /
+    exact-power-of-two scalings of the same cube — no FMA-contractible
+    chains), and the stored update makes every position / size /
+    packed-octave output bit-identical to the plain path.  The update
+    is STORED rather than re-derived because ``_solve3``'s cofactor
+    chains DO contract differently between executables (measured 1-ulp
+    wobble); the one output still exposed to that effect is
+    ``response`` (its ``val`` dot product is evaluated per-graph),
+    measured <= 1 ulp on 2/57 rows.
+
+    The loop is a ``while_loop`` that stops as soon as every REAL row
+    (``alive`` = cand_valid) has converged or rejected — the reference
+    loop (sift_impl.py:175-195) runs per-point until convergence, so
+    stopping a chunk when its last real row settles is exact; only
+    filler-row garbage differs from the fixed 5-iteration path (same
+    class of difference as the split-mover path, masked downstream).
+    Under vmap the trip count becomes the batch max, still <= 5.
+
+    Returns ``(run, finalize)``: ``run(state) -> state`` executes the
+    loop; ``finalize(state, cand_valid, octave) -> Localized``.
+    """
+    h, w = dog.shape[-2:]
+    hw = h * w
+    border = cfg.image_border_width
+    dog_flat = dog.reshape(-1)
+
+    import numpy as np
+
+    offs = np.array(
+        [dl * hw + dy * w + dx
+         for dl in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        dtype=np.int32,
+    )
+    offsets = jnp.asarray(offs)
+
+    def _cube_at(l, yy, xx):
+        cube = _cube_gather(dog_flat, offsets, l, yy, xx, w, hw)
+        return cube.astype(jnp.float32) / 255.0
+
+    def cond(carry):
+        t, st = carry
+        settled = st["converged"] | st["rejected"]
+        return (t < cfg.max_localize_iters) & jnp.any(st["alive"] & ~settled)
+
+    def body(carry):
+        t, st = carry
+        active = ~(st["converged"] | st["rejected"])
+        (gx, gy, gs), hess, _ = _derivatives(
+            _cube_at(st["l"], st["y"], st["x"])
+        )
+        ux, uy, us = _solve3(hess, (gx, gy, gs))
+        conv_now = (
+            (jnp.abs(ux) < 0.5) & (jnp.abs(uy) < 0.5) & (jnp.abs(us) < 0.5)
+        )
+        out = dict(st)
+        out["converged"] = st["converged"] | (active & conv_now)
+        out["cx"] = jnp.where(active, st["x"], st["cx"])
+        out["cy"] = jnp.where(active, st["y"], st["cy"])
+        out["cl"] = jnp.where(active, st["l"], st["cl"])
+        out["ux"] = jnp.where(active, ux, st["ux"])
+        out["uy"] = jnp.where(active, uy, st["uy"])
+        out["us"] = jnp.where(active, us, st["us"])
+        moving = active & ~conv_now
+        nx = st["x"] + jnp.rint(ux).astype(jnp.int32)
+        ny = st["y"] + jnp.rint(uy).astype(jnp.int32)
+        nl = st["l"] + jnp.rint(us).astype(jnp.int32)
+        oob = (
+            (ny < border) | (ny >= h - border)
+            | (nx < border) | (nx >= w - border)
+            | (nl < 1) | (nl > cfg.num_intervals)
+        )
+        out["rejected"] = st["rejected"] | (moving & oob)
+        out["x"] = jnp.where(moving, jnp.clip(nx, 1, w - 2), st["x"])
+        out["y"] = jnp.where(moving, jnp.clip(ny, 1, h - 2), st["y"])
+        out["l"] = jnp.where(
+            moving, jnp.clip(nl, 1, cfg.num_intervals), st["l"]
+        )
+        return (t + 1, out)
+
+    def run(st):
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), st))[1]
+
+    def finalize(st, cand_valid, octave):
+        (gx, gy, gs), hess, center = _derivatives(
+            _cube_at(st["cl"], st["cy"], st["cx"])
+        )
+        (dxx, dyy, dss, dxy, dxs, dys) = hess
+        full = dict(
+            st, gx=gx, gy=gy, gs=gs,
+            dxx=dxx, dyy=dyy, dss=dss, dxy=dxy, dxs=dxs, dys=dys,
+            center=center,
+        )
+        return _finalize_localized(full, cand_valid, octave, cfg)
+
+    return run, finalize
+
+
+def _init_state_slim(layer, y, x, alive):
+    k = layer.shape[0]
+    zeros = jnp.zeros((k,), jnp.float32)
+    return dict(
+        x=x, y=y, l=layer, cx=x, cy=y, cl=layer, alive=alive,
+        ux=zeros, uy=zeros, us=zeros,
+        converged=jnp.zeros((k,), bool), rejected=jnp.zeros((k,), bool),
+    )
+
+
+def localize_candidates_chunked_slim(
+    dog: jnp.ndarray,
+    layer: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    octave: int,
+    cfg: SiftConfig,
+    chunk: int = 512,
+) -> Localized:
+    """Live-chunked localization via the slim early-exit Newton loop.
+
+    Valid-row output is bit-identical to :func:`localize_candidates_chunked`
+    (pinned by tests/test_sift.py); only filler-row garbage differs.
+    """
+    k = layer.shape[0]
+    if k <= chunk:
+        chunk = k
+    elif k % chunk:
+        import math
+
+        chunk = math.gcd(k, chunk) or k
+
+    from vfx_image_stitching_tpu.models.sift.chunking import (
+        chunked_live_loop,
+        index_chunk,
+        live_chunk_bound,
+    )
+
+    run, finalize = _make_newton_slim(dog, cfg)
+    n_chunks = k // chunk
+    reshaped = (
+        layer.reshape(n_chunks, chunk), y.reshape(n_chunks, chunk),
+        x.reshape(n_chunks, chunk), cand_valid.reshape(n_chunks, chunk),
+    )
+    zf = jnp.zeros((n_chunks, chunk), jnp.float32)
+    zi = jnp.zeros((n_chunks, chunk), jnp.int32)
+    out_zeros = Localized(
+        x=zi, y=zi, layer=zi, pt_x=zf, pt_y=zf, size=zf,
+        response=zf, octave_packed=zi,
+        valid=jnp.zeros((n_chunks, chunk), bool),
+        jx=zi, jy=zi, jl=zi,
+    )
+
+    def body_fn(i):
+        l_c, y_c, x_c, v_c = index_chunk(reshaped, i)
+        st = run(_init_state_slim(l_c, y_c, x_c, v_c))
+        return finalize(st, v_c, octave)
+
+    out = chunked_live_loop(
+        live_chunk_bound(cand_valid, chunk), body_fn, out_zeros
+    )
+    return Localized(*[f.reshape(k) for f in out])
+
+
 def localize_candidates(
     dog: jnp.ndarray,
     layer: jnp.ndarray,

@@ -343,6 +343,13 @@ def _resolve_cfg(backend: str, cfg: Optional[StitchConfig]) -> StitchConfig:
                 cfg.sift, localize_split=split_env == "1"
             )
         )
+    slim_env = os.environ.get("VFX_LOCALIZE_SLIM")
+    if slim_env is not None and (slim_env == "1") != cfg.sift.localize_slim:
+        cfg = dataclasses.replace(
+            cfg, sift=dataclasses.replace(
+                cfg.sift, localize_slim=slim_env == "1"
+            )
+        )
     if os.environ.get("VFX_USE_PALLAS") == "1":
         # chip runs opt in via env; the Pallas window gather rides along
         # (docs/CHIP_AB_R3B.json: best config -0.11 s median vs base,
