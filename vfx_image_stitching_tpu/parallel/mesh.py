@@ -1,12 +1,26 @@
 """Mesh construction and the sharded pairwise-shift pipeline.
 
 Design: a 1-D ``("images",)`` mesh (optionally folded into a 2-D
-``("data", "images")`` mesh for the multi-panorama throughput config).
-The (N, H, W, 3) cylindrical batch is sharded along images; feature
-extraction is purely local; the adjacent-pair stage reads ``feats[:-1]``
-and ``feats[1:]``, which XLA lowers to a one-hop halo exchange
-(collective-permute) over ICI; the resulting (N-1, 2) shift vectors are
-tiny and replicated.
+``("data", "images")`` mesh), plus the 1-D ``("pano",)`` mesh from
+:func:`make_mesh_pano`.  The (N, H, W, 3) cylindrical batch is sharded
+along images; feature extraction is purely local; the adjacent-pair
+stage reads ``feats[:-1]`` and ``feats[1:]``, which XLA lowers to a
+one-hop halo exchange (collective-permute) over ICI; the resulting
+(N-1, 2) shift vectors are tiny and replicated.
+
+Which layout to use (measured):
+
+* **Scale-out = the pano axis.**  ``make_mesh_pano`` +
+  ``sharded_multi_pano_full`` is the recommended multi-chip layout:
+  0.93x per pano vs the sequential loop (docs/MESH_COST_r03b.json) —
+  n chips stitch ~n panoramas in one pano's time.
+* **The images axis is a correctness config, not a speedup.**  At the
+  realistic single-pano shape (18 x 384x512, full SIFT caps) sharding
+  one panorama's images across 6 devices inflates total work 6.24x —
+  per-shard GSPMD padding/halo swamps the 1/n compute — so the
+  projected speedup on n real chips is ~0.96x: never better than one
+  device (docs/MESH_COST_r04.json, VERDICT r3 item 6).  It stays for
+  mesh-shape generality (2-D meshes fold it in) and for tests.
 """
 
 from __future__ import annotations
