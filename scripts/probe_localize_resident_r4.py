@@ -594,9 +594,145 @@ def newton():
     ))
 
 
+
+
+def fused():
+    """Fused-regime A/B: extract prefix through localize, 6-image group.
+
+    Same harness as scripts/probe_localize_slim_r4.py (extrema / plain /
+    resident interleaved rounds) so numbers are directly comparable to
+    docs/PROBE_LOCALIZE_SLIM_r04.json.
+    """
+    import statistics
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vfx_image_stitching_tpu.config import StitchConfig
+    from vfx_image_stitching_tpu.io import (
+        read_pano_data, resolve_image_path, load_bgr,
+    )
+    from vfx_image_stitching_tpu.ops.color import bgr_to_gray_f32
+    from vfx_image_stitching_tpu.geometry.cylindrical import (
+        cylindrical_project_batch,
+    )
+    from vfx_image_stitching_tpu.models.sift.pyramid import (
+        generate_base_image, compute_number_of_octaves,
+        generate_gaussian_kernels, generate_gaussian_images,
+        generate_dog_images,
+    )
+    from vfx_image_stitching_tpu.models.sift.extrema import (
+        extrema_threshold, extract_candidates,
+    )
+    from vfx_image_stitching_tpu.models.sift.localize import (
+        localize_candidates_chunked, localize_candidates_resident,
+    )
+
+    base_cfg = StitchConfig(backend="sift").sift
+    caps = base_cfg.capacities
+    data = os.environ.get("VFX_REFERENCE_DIR", "/root/reference")
+    group = int(os.environ.get("VFX_PROBE_GROUP", "6"))
+    reps = int(os.environ.get("VFX_PROBE_REPS", "8"))
+    n_rounds = int(os.environ.get("VFX_PROBE_ROUNDS", "5"))
+
+    folder = os.path.join(data, "parrington")
+    paths, focals = read_pano_data(os.path.join(folder, "pano.txt"))
+    paths = paths[:group]
+    imgs = np.stack([
+        load_bgr(resolve_image_path(p, folder)) for p in paths
+    ]).astype(np.uint8)
+    cyl = cylindrical_project_batch(jnp.asarray(imgs), tuple(focals[:group]))
+    grays = jax.jit(jax.vmap(bgr_to_gray_f32))(cyl)
+    jax.block_until_ready(grays)
+
+    probe_base_shape = (grays.shape[1] * 2, grays.shape[2] * 2)
+    num_octaves = compute_number_of_octaves(probe_base_shape)
+    kernels = generate_gaussian_kernels(
+        base_cfg.sigma, base_cfg.num_intervals)
+    thresh = extrema_threshold(
+        base_cfg.contrast_threshold, base_cfg.num_intervals)
+
+    def _reduce(*arrs):
+        tot = jnp.float32(0)
+        for a in arrs:
+            tot = tot + jnp.sum(a.astype(jnp.float32))
+        return tot
+
+    def prefix_one(gray, mode):
+        base = generate_base_image(
+            gray, base_cfg.sigma, base_cfg.assumed_blur)
+        pyramid = generate_gaussian_images(base, num_octaves, kernels)
+        dogs = generate_dog_images(pyramid)
+        acc = jnp.float32(0)
+        for o in range(num_octaves):
+            dog = dogs[o]
+            h_o, w_o = dog.shape[-2:]
+            cand_cap = min(caps.scaled_candidates(o), 3 * h_o * w_o)
+            layer, y, x, cand_valid = extract_candidates(
+                dog, base_cfg.image_border_width, thresh, cand_cap)
+            if mode == "extrema":
+                acc += _reduce(layer, y, x, cand_valid)
+                continue
+            loc_fn = (localize_candidates_resident if mode == "resident"
+                      else localize_candidates_chunked)
+            loc = loc_fn(dog, layer, y, x, cand_valid, o, base_cfg)
+            acc += _reduce(
+                loc.x, loc.y, loc.layer, loc.pt_x, loc.pt_y, loc.size,
+                loc.response, loc.octave_packed, loc.valid,
+                loc.jx, loc.jy, loc.jl,
+            )
+        return acc
+
+    def _drain(out):
+        # axon's block_until_ready returns before remote execution
+        # finishes; a 1-element device_get is the real barrier (same
+        # pattern as every other probe in scripts/)
+        np.asarray(jax.device_get(out.ravel()[:1]))
+
+    fns, compile_s = {}, {}
+    for name in ("extrema", "plain", "resident"):
+        fn = jax.jit(functools.partial(
+            lambda g, m: jnp.sum(
+                jax.lax.map(lambda im: prefix_one(im, m), g)), m=name))
+        t0 = time.time()
+        out = fn(grays)
+        _drain(out)
+        compile_s[name] = round(time.time() - t0, 1)
+        fns[name] = fn
+        print(f"[compile] {name}: {compile_s[name]}s", flush=True)
+
+    rounds = {name: [] for name in fns}
+    for r in range(n_rounds):
+        for name, fn in fns.items():
+            out = fn(grays)
+            _drain(out)
+            t0 = time.time()
+            for _ in range(reps):
+                out = fn(grays)
+            _drain(out)
+            dt = (time.time() - t0) / reps / group * 1e3
+            rounds[name].append(round(dt, 3))
+            print(f"[round {r}] {name}: {dt:.3f} ms/img", flush=True)
+
+    summary = {n: round(statistics.median(v), 3) for n, v in rounds.items()}
+    _record("fused_ab", dict(
+        group=group, reps=reps, n_rounds=n_rounds, compile_s=compile_s,
+        summary_ms_per_img=summary,
+        derived=dict(
+            loc_cum_plain=round(summary["plain"] - summary["extrema"], 3),
+            loc_cum_resident=round(
+                summary["resident"] - summary["extrema"], 3),
+            resident_saving_ms_per_img=round(
+                summary["plain"] - summary["resident"], 3),
+        ),
+        rounds_ms_per_img=rounds,
+    ))
+
+
 def main():
     phase = sys.argv[1] if len(sys.argv) > 1 else "feas1"
-    {"feas1": feas1, "feas2": feas2, "newton": newton}[phase]()
+    {"feas1": feas1, "feas2": feas2, "newton": newton, "fused": fused}[phase]()
 
 
 if __name__ == "__main__":

@@ -324,3 +324,73 @@ def test_localize_slim_matches_plain(crop_gray):
                     a, b, err_msg=f"octave {o} {name}"
                 )
     assert checked_rows > 0
+
+
+def test_localize_resident_matches_plain(crop_gray):
+    """VMEM-resident scalar-Newton localization vs the plain path.
+
+    Contract (same as the slim test): every field bit-identical on
+    valid rows except ``response`` within 4 ulp — its ``val`` dot
+    product FMA-contracts differently in the two executables (measured
+    1 ulp on 2/57 rows, the same rows as slim).  The kernel's
+    scalar-core solve wobbles <=1 ulp on ux/uy/us (enough to flip a
+    knife-edge rint downstream — docs/RESIDENT_E2E_r04.json first
+    attempt), so the wrapper consumes only the kernel's integer
+    convergence state and re-derives all float lanes in XLA at the
+    last-compute cell; those recomputed lanes (and pt_x/pt_y/size/
+    octave_packed built from them) must be bit-exact — any divergence
+    there is a recorded-cell or recompute bug, not float noise.  On CPU
+    the kernel runs in interpret mode; same contract.  End-to-end byte
+    parity on all four datasets is gated separately by
+    scripts/verify_resident_e2e.py on chip.
+    """
+    from vfx_image_stitching_tpu.models.sift.pyramid import (
+        generate_base_image, compute_number_of_octaves,
+        generate_gaussian_kernels, generate_gaussian_images,
+        generate_dog_images,
+    )
+    from vfx_image_stitching_tpu.models.sift.extrema import (
+        extrema_threshold, extract_candidates,
+    )
+    from vfx_image_stitching_tpu.models.sift.localize import (
+        localize_candidates_chunked, localize_candidates_resident,
+    )
+
+    cfg = SiftConfig()
+    gray = jnp.asarray(crop_gray)
+    base = generate_base_image(gray, cfg.sigma, cfg.assumed_blur)
+    num_octaves = compute_number_of_octaves(base.shape)
+    kernels = generate_gaussian_kernels(cfg.sigma, cfg.num_intervals)
+    pyramid = generate_gaussian_images(base, num_octaves, kernels)
+    dogs = generate_dog_images(pyramid)
+    thresh = extrema_threshold(cfg.contrast_threshold, cfg.num_intervals)
+
+    checked_rows = 0
+    for o in range(num_octaves):
+        dog = dogs[o]
+        h_o, w_o = dog.shape[-2:]
+        cap = min(cfg.capacities.scaled_candidates(o), 3 * h_o * w_o)
+        layer, y, x, cv = extract_candidates(
+            dog, cfg.image_border_width, thresh, cap
+        )
+        plain = localize_candidates_chunked(dog, layer, y, x, cv, o, cfg)
+        res = localize_candidates_resident(dog, layer, y, x, cv, o, cfg)
+        vp = np.asarray(plain.valid)
+        np.testing.assert_array_equal(vp, np.asarray(res.valid))
+        checked_rows += int(vp.sum())
+        for name in plain._fields:
+            a = np.asarray(getattr(plain, name))[vp]
+            b = np.asarray(getattr(res, name))[vp]
+            if name == "response":
+                ulp = np.abs(
+                    a.view(np.int32).astype(np.int64)
+                    - b.view(np.int32).astype(np.int64)
+                )
+                assert ulp.max(initial=0) <= 4, (
+                    f"octave {o} {name} ulp {ulp.max()}"
+                )
+            else:
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"octave {o} {name}"
+                )
+    assert checked_rows > 0

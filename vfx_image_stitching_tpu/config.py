@@ -161,6 +161,23 @@ class SiftConfig:
     # tests/test_sift.py); takes precedence over localize_split.
     # VFX_LOCALIZE_SLIM=0/1 overrides at the pipeline entry.
     localize_slim: bool = False
+    # VMEM-resident scalar-Newton localize (pallas_kernels.
+    # localize_newton_resident): the whole DoG octave stack lives in
+    # VMEM for one Pallas kernel that runs the full Newton loop per
+    # candidate on the scalar core with true per-candidate early exit
+    # (75% of candidates settle at iteration 1).  Measured -49% on the
+    # fused extract prefix (docs/PROBE_LOCALIZE_RESIDENT_r04.json).
+    # Only the kernel's INTEGER convergence state is consumed — the
+    # scalar-core float solve wobbles <=1 ulp, which flipped a grail
+    # knife edge end-to-end (docs/RESIDENT_E2E_r04.json first attempt)
+    # — and all float lanes are re-derived in XLA at the last-compute
+    # cell.  Valid-row bit-identity pinned by tests/test_sift.py;
+    # end-to-end byte parity on all four datasets by
+    # scripts/verify_resident_e2e.py.  Takes precedence over
+    # localize_slim/localize_split.  Octaves with h < 16 fall back to
+    # the plain path (no candidates there anyway).
+    # VFX_LOCALIZE_RESIDENT=0/1 overrides at the pipeline entry.
+    localize_resident: bool = False
 
     @property
     def images_per_octave(self) -> int:

@@ -34,6 +34,7 @@ from vfx_image_stitching_tpu.models.sift.extrema import (
 from vfx_image_stitching_tpu.models.sift.localize import (
     localize_candidates_chunked,
     localize_candidates_chunked_slim,
+    localize_candidates_resident,
     localize_candidates_split_chunked,
     compact_localized,
 )
@@ -89,7 +90,9 @@ def sift_keypoints_and_descriptors(
         layer, y, x, cand_valid = extract_candidates(
             dog, cfg.image_border_width, thresh, cand_cap
         )
-        if cfg.localize_slim:
+        if cfg.localize_resident:
+            localize = localize_candidates_resident
+        elif cfg.localize_slim:
             localize = localize_candidates_chunked_slim
         elif cfg.localize_split:
             localize = localize_candidates_split_chunked

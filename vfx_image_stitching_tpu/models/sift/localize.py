@@ -624,3 +624,114 @@ def localize_candidates_split_chunked(
     return Localized(*[
         jnp.where(in_live, f, jnp.zeros_like(f)) for f in out
     ])
+
+
+def localize_candidates_resident(
+    dog: jnp.ndarray,
+    layer: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    octave: int,
+    cfg: SiftConfig,
+    chunk: int = 256,
+) -> Localized:
+    """VMEM-resident scalar-Newton localization (Pallas kernel).
+
+    The whole DoG octave stack lives in VMEM for one kernel that runs
+    the full Newton loop per candidate on the scalar core with true
+    early exit — no per-iteration XLA dispatch, no per-iteration HBM
+    gather (docs/PROBE_LOCALIZE_RESIDENT_r04.json: -49% vs the plain
+    path in the fused extract prefix).
+
+    Parity: the kernel's scalar-core solve contracts FMAs differently
+    from the VPU, wobbling its ux/uy/us by <=1 ulp — enough to flip a
+    knife-edge rint downstream (docs/RESIDENT_E2E_r04.json, first
+    attempt: grail diverged).  So ONLY the kernel's integer convergence
+    state (final cell, last-compute cell, converged/rejected — probed
+    bit-identical) is consumed; every float lane is re-derived in XLA
+    by re-gathering the 3x3x3 cube at the last-compute cell and running
+    the stock :func:`_derivatives` + :func:`_solve3`, per live chunk in
+    a ``chunked_live_loop`` mirroring the plain path's structure.  The
+    recompute costs ~1 plain iteration over live chunks vs the >=5 the
+    kernel saves.  Valid-row bit-identity with
+    :func:`localize_candidates_chunked` is pinned by tests/test_sift.py
+    and end-to-end byte parity on all four datasets by
+    scripts/verify_resident_e2e.py.  Octaves with h < 16 (which carry
+    no candidates at border width 5 anyway) fall back to the plain
+    path.
+    """
+    h = dog.shape[-2]
+    if h < 16:
+        return localize_candidates_chunked(
+            dog, layer, y, x, cand_valid, octave, cfg
+        )
+
+    from vfx_image_stitching_tpu.models.sift.chunking import (
+        chunked_live_loop,
+        index_chunk,
+        live_chunk_bound,
+    )
+    from vfx_image_stitching_tpu.models.sift.pallas_kernels import (
+        localize_newton_resident,
+    )
+
+    k = layer.shape[0]
+    if k <= chunk:
+        chunk = k
+    elif k % chunk:
+        import math
+
+        chunk = math.gcd(k, chunk) or k
+
+    n_live = live_chunk_bound(cand_valid, chunk)
+    _outf, outi = localize_newton_resident(
+        dog, layer, y, x, cand_valid, n_live,
+        cfg.image_border_width, cfg.num_intervals,
+        cfg.max_localize_iters, chunk,
+    )
+
+    hh, w = dog.shape[-2:]
+    hw = hh * w
+    dog_flat = dog.reshape(-1)
+
+    import numpy as np
+
+    offs = np.array(
+        [dl * hw + dy * w + dx
+         for dl in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        dtype=np.int32,
+    )
+    offsets = jnp.asarray(offs)
+
+    n_chunks = k // chunk
+    reshaped = tuple(
+        outi[:, c].reshape(n_chunks, chunk) for c in range(8)
+    ) + (cand_valid.reshape(n_chunks, chunk),)
+    zf = jnp.zeros((n_chunks, chunk), jnp.float32)
+    zi = jnp.zeros((n_chunks, chunk), jnp.int32)
+    out_zeros = Localized(
+        x=zi, y=zi, layer=zi, pt_x=zf, pt_y=zf, size=zf,
+        response=zf, octave_packed=zi,
+        valid=jnp.zeros((n_chunks, chunk), bool),
+        jx=zi, jy=zi, jl=zi,
+    )
+
+    def body_fn(i):
+        xs, ys, ls, cx, cy, cl, conv, rej, v_c = index_chunk(reshaped, i)
+        cube = _cube_gather(dog_flat, offsets, cl, cy, cx, w, hw)
+        cube = cube.astype(jnp.float32) / 255.0
+        (gx, gy, gs), hess, center = _derivatives(cube)
+        ux, uy, us = _solve3(hess, (gx, gy, gs))
+        (dxx, dyy, dss, dxy, dxs, dys) = hess
+        st = dict(
+            x=xs, y=ys, l=ls, cx=cx, cy=cy, cl=cl,
+            converged=conv != 0, rejected=rej != 0,
+            ux=ux, uy=uy, us=us, gx=gx, gy=gy, gs=gs,
+            dxx=dxx, dyy=dyy, dss=dss, dxy=dxy, dxs=dxs, dys=dys,
+            center=center,
+        )
+        return _finalize_localized(st, v_c, octave, cfg)
+
+    out = chunked_live_loop(n_live, body_fn, out_zeros)
+    return Localized(*[f.reshape(k) for f in out])

@@ -635,3 +635,234 @@ def pair_window_gather(
         *([ang_stack.astype(jnp.float32)] * 4),
     )
     return magw, angw, sy, sx
+
+
+def _newton_resident_kernel(
+    # scalar prefetch
+    nlive_ref, l_ref, y_ref, x_ref, v_ref,
+    # whole-stack VMEM input
+    dog_ref,
+    # outputs
+    outf_ref, outi_ref,
+    *, h: int, w: int, wp: int, border: int, num_intervals: int,
+    max_iters: int, chunk: int,
+):
+    """Per-candidate scalar Newton over a VMEM-resident DoG stack.
+
+    Mirrors ``localize._make_newton_body`` (itself sift_impl.py:175-195):
+    same compute -> store -> converge-check -> move order, expressed per
+    candidate on the scalar core so settled candidates stop paying
+    iterations (75% settle at iteration 1 — docs/DEVNOTES.md fused-
+    attribution entry; an XLA masked loop must run all 5 for everyone).
+
+    The 3x3x3 cube read uses the feas2-validated slab scheme
+    (docs/PROBE_LOCALIZE_RESIDENT_r04.json): Mosaic requires vector
+    loads at (8, 128)-aligned offsets, so each layer loads an aligned
+    (16, slab) window, ``pltpu.roll`` rotates the wanted cell to the
+    origin (dynamic shifts are fine), and the 27 scalars are static
+    extracts.  ``wp`` is the lane-padded width (the wrapper pads when
+    w % 128 != 0 — dynamic_rotate rejects unaligned lane shapes);
+    bounds tests use the LOGICAL ``w``.
+    """
+    step = pl.program_id(0)
+    f0 = jnp.float32(0.0)
+    slab = 256 if wp >= 256 else wp
+
+    @pl.when(step < nlive_ref[0])
+    def _process():
+        def cand(j, carry):
+            i = step * chunk + j
+            ok = v_ref[i] != 0
+
+            def run_newton():
+                def cond(st):
+                    t = st[0]
+                    conv = st[20]
+                    rej = st[21]
+                    return (t < max_iters) & ~conv & ~rej
+
+                def body(st):
+                    (t, x, y, l, cx, cy, cl, _ux, _uy, _us, _gx, _gy,
+                     _gs, _dxx, _dyy, _dss, _dxy, _dxs, _dys, _center,
+                     conv, rej) = st
+
+                    xa = jnp.minimum(((x - 1) // 128) * 128, wp - slab)
+                    xa = pl.multiple_of(xa, 128)
+                    ya = jnp.minimum(((y - 1) // 8) * 8, h - 16)
+                    ya = pl.multiple_of(ya, 8)
+                    xoff = x - 1 - xa
+                    yoff = y - 1 - ya
+                    wins = []
+                    for dl in (-1, 0, 1):
+                        s16 = dog_ref[l + dl, pl.ds(ya, 16),
+                                      pl.ds(xa, slab)]
+                        s16 = pltpu.roll(s16, 16 - yoff, 0)
+                        s16 = pltpu.roll(s16, slab - xoff, 1)
+                        wins.append(s16[:3, :3])
+                    win = jnp.concatenate(wins, axis=0)     # (9, 3)
+
+                    def c(dl, dy, dx):
+                        return win[(dl + 1) * 3 + (dy + 1), dx + 1] / 255.0
+
+                    # derivatives: localize._derivatives expressions
+                    gx = 0.5 * (c(0, 0, 1) - c(0, 0, -1))
+                    gy = 0.5 * (c(0, 1, 0) - c(0, -1, 0))
+                    gs = 0.5 * (c(1, 0, 0) - c(-1, 0, 0))
+                    v = c(0, 0, 0)
+                    dxx = c(0, 0, 1) - 2 * v + c(0, 0, -1)
+                    dyy = c(0, 1, 0) - 2 * v + c(0, -1, 0)
+                    dss = c(1, 0, 0) - 2 * v + c(-1, 0, 0)
+                    dxy = 0.25 * (c(0, 1, 1) - c(0, 1, -1)
+                                  - c(0, -1, 1) + c(0, -1, -1))
+                    dxs = 0.25 * (c(1, 0, 1) - c(1, 0, -1)
+                                  - c(-1, 0, 1) + c(-1, 0, -1))
+                    dys = 0.25 * (c(1, 1, 0) - c(1, -1, 0)
+                                  - c(-1, 1, 0) + c(-1, -1, 0))
+                    # localize._solve3, same cofactor chain
+                    c00 = dyy * dss - dys * dys
+                    c01 = dys * dxs - dxy * dss
+                    c02 = dxy * dys - dyy * dxs
+                    det = dxx * c00 + dxy * c01 + dxs * c02
+                    c11 = dxx * dss - dxs * dxs
+                    c12 = dxy * dxs - dxx * dys
+                    c22 = dxx * dyy - dxy * dxy
+                    det_ok = jnp.abs(det) > 1e-30
+                    safe = jnp.where(det_ok, det, 1.0)
+                    ux = jnp.where(
+                        det_ok, -(c00 * gx + c01 * gy + c02 * gs) / safe, f0)
+                    uy = jnp.where(
+                        det_ok, -(c01 * gx + c11 * gy + c12 * gs) / safe, f0)
+                    us = jnp.where(
+                        det_ok, -(c02 * gx + c12 * gy + c22 * gs) / safe, f0)
+
+                    conv_now = (
+                        (jnp.abs(ux) < 0.5) & (jnp.abs(uy) < 0.5)
+                        & (jnp.abs(us) < 0.5)
+                    )
+                    nx = x + jnp.rint(ux).astype(jnp.int32)
+                    ny = y + jnp.rint(uy).astype(jnp.int32)
+                    nl = l + jnp.rint(us).astype(jnp.int32)
+                    oob = (
+                        (ny < border) | (ny >= h - border)
+                        | (nx < border) | (nx >= w - border)
+                        | (nl < 1) | (nl > num_intervals)
+                    )
+                    rej2 = ~conv_now & oob
+                    x2 = jnp.where(conv_now, x, jnp.clip(nx, 1, w - 2))
+                    y2 = jnp.where(conv_now, y, jnp.clip(ny, 1, h - 2))
+                    l2 = jnp.where(conv_now, l,
+                                   jnp.clip(nl, 1, num_intervals))
+                    return (t + 1, x2, y2, l2, x, y, l, ux, uy, us,
+                            gx, gy, gs, dxx, dyy, dss, dxy, dxs, dys, v,
+                            conv_now, rej2)
+
+                x0 = x_ref[i]
+                y0 = y_ref[i]
+                l0 = l_ref[i]
+                i0 = jnp.int32(0)
+                st0 = (i0, x0, y0, l0, x0, y0, l0,
+                       f0, f0, f0, f0, f0, f0, f0, f0, f0, f0, f0, f0, f0,
+                       jnp.bool_(False), jnp.bool_(False))
+                return jax.lax.while_loop(cond, body, st0)
+
+            def zeros():
+                i0 = jnp.int32(0)
+                return (i0, i0, i0, i0, i0, i0, i0,
+                        f0, f0, f0, f0, f0, f0, f0, f0, f0, f0, f0, f0, f0,
+                        jnp.bool_(False), jnp.bool_(False))
+
+            (t, x, y, l, cx, cy, cl, ux, uy, us, gx, gy, gs,
+             dxx, dyy, dss, dxy, dxs, dys, center, conv, rej) = (
+                jax.lax.cond(ok, run_newton, zeros)
+            )
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            rowf = jnp.zeros((1, 128), jnp.float32)
+            for slot, val in enumerate(
+                (ux, uy, us, gx, gy, gs, center,
+                 dxx, dyy, dss, dxy, dxs, dys)
+            ):
+                rowf = jnp.where(lane == slot, val, rowf)
+            rowi = jnp.zeros((1, 128), jnp.int32)
+            for slot, val in enumerate(
+                (x, y, l, cx, cy, cl,
+                 conv.astype(jnp.int32), rej.astype(jnp.int32))
+            ):
+                rowi = jnp.where(lane == slot, val, rowi)
+            outf_ref[pl.ds(j, 1), :] = rowf
+            outi_ref[pl.ds(j, 1), :] = rowi
+            return carry
+
+        jax.lax.fori_loop(0, chunk, cand, 0)
+
+    @pl.when(step >= nlive_ref[0])
+    def _skip():
+        outf_ref[:, :] = jnp.zeros((chunk, 128), jnp.float32)
+        outi_ref[:, :] = jnp.zeros((chunk, 128), jnp.int32)
+
+
+def localize_newton_resident(
+    dog: jnp.ndarray,
+    layer: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    n_live_chunks: jnp.ndarray,
+    cfg_border: int,
+    cfg_num_intervals: int,
+    cfg_max_iters: int,
+    chunk: int,
+    interpret: bool = False,
+):
+    """Run the resident-stack Newton kernel; returns the 22-lane state.
+
+    ``dog`` is one octave's (L, H, W) stack (f32, 0..255-scale values as
+    everywhere in the pipeline); ``n_live_chunks`` the
+    chunking.live_chunk_bound of ``cand_valid``.  Output is
+    ``(outf (K, 128) f32, outi (K, 128) i32)`` holding the per-candidate
+    final Newton state in the lane layout the localize wrapper unpacks.
+    The caller guarantees h >= 16; lane padding to a 128 multiple
+    happens here (Mosaic dynamic_rotate rejects unaligned lane shapes).
+    """
+    nl, h, w = dog.shape
+    wp = ((w + 127) // 128) * 128
+    if wp != w:
+        dog = jnp.pad(dog, [(0, 0), (0, 0), (0, wp - w)])
+    k = layer.shape[0]
+    n_chunks = k // chunk
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((chunk, 128), lambda s, *_: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 128), lambda s, *_: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = functools.partial(
+        _newton_resident_kernel,
+        h=h, w=w, wp=wp, border=cfg_border,
+        num_intervals=cfg_num_intervals,
+        max_iters=cfg_max_iters, chunk=chunk,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((k, 128), jnp.float32),
+            jax.ShapeDtypeStruct((k, 128), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=4 * nl * h * wp + 16 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        n_live_chunks.astype(jnp.int32).reshape(1),
+        layer.astype(jnp.int32), y.astype(jnp.int32),
+        x.astype(jnp.int32), cand_valid.astype(jnp.int32),
+        dog.astype(jnp.float32),
+    )

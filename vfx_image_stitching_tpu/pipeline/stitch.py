@@ -350,6 +350,14 @@ def _resolve_cfg(backend: str, cfg: Optional[StitchConfig]) -> StitchConfig:
                 cfg.sift, localize_slim=slim_env == "1"
             )
         )
+    res_env = os.environ.get("VFX_LOCALIZE_RESIDENT")
+    if res_env is not None and (
+            (res_env == "1") != cfg.sift.localize_resident):
+        cfg = dataclasses.replace(
+            cfg, sift=dataclasses.replace(
+                cfg.sift, localize_resident=res_env == "1"
+            )
+        )
     if os.environ.get("VFX_USE_PALLAS") == "1":
         # chip runs opt in via env; the Pallas window gather rides along
         # (docs/CHIP_AB_R3B.json: best config -0.11 s median vs base,
