@@ -12,6 +12,24 @@ command line.
 import os
 import sys
 
+# Module-level surface of the reference script under the original names:
+# its own copies of the Harris stack (harris_visualizeUI.py:15-168) map to
+# the shared backend, and the Qt/draw helpers (:174-221) to the viz module.
+from vfx_image_stitching_tpu.compat import (  # noqa: F401  (re-exports)
+    conv2d,
+    HarrisCorner,
+    calc_orientation,
+    gen_descriptor,
+    compute_keypoints_and_descriptors_harris,
+    simple_match,
+)
+from vfx_image_stitching_tpu.viz.harris_demo import (  # noqa: F401
+    convertCV2Qt,
+    draw_harris_corners_on_image,
+    draw_matches_side_by_side,
+    HarrisDemoWindow,
+)
+
 
 def main() -> None:
     from vfx_image_stitching_tpu.viz.harris_demo import (

@@ -22,6 +22,14 @@ DEFAULT_MATCH = os.environ.get(
     "VFX_VIZ_MATCH", os.path.join(os.path.dirname(DEFAULT_IMAGE), "out01.jpg")
 )
 
+# Module-level helper surface of the reference script
+# (sift_visualizeUI.py:21-86, :91) under the original names.
+from vfx_image_stitching_tpu.viz.sift_visualizer import (  # noqa: E402,F401
+    cvimg_to_qpixmap,
+    draw_feature_points_return_disp,
+    SIFTVisualizer,
+)
+
 
 def main() -> None:
     image = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_IMAGE

@@ -35,6 +35,74 @@ from vfx_image_stitching_tpu.match.nn import match_descriptors
 from vfx_image_stitching_tpu.models.harris import (
     harris_keypoints_and_descriptors,
 )
+from vfx_image_stitching_tpu.ops.gradients import (
+    conv2d_edge,
+    calc_orientation as _calc_orientation_device,
+)
+
+
+def conv2d(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Edge-padded 2-D convolution, float64 accumulate
+    (image_stitching_harris.py:49-61)."""
+    return np.asarray(
+        conv2d_edge(jnp.asarray(np.asarray(img)), np.asarray(kernel)),
+        np.float64,
+    )
+
+
+def calc_orientation(Ix: np.ndarray, Iy: np.ndarray):
+    """Gradient magnitude + angle in [0, 360)
+    (image_stitching_harris.py:63-70)."""
+    m, theta = _calc_orientation_device(jnp.asarray(Ix), jnp.asarray(Iy))
+    return np.asarray(m), np.asarray(theta)
+
+
+def HarrisCorner(
+    img_bgr: np.ndarray,
+    max_points: int = 200,
+    k: float = 0.05,
+    block_size: int = 21,
+    gauss_sigma: float = 2.0,
+    thresh_ratio: float = 0.02,
+):
+    """Reference-signature Harris detector (image_stitching_harris.py:135-185).
+
+    Returns ``(corner_candidates, Ix, Iy)`` with candidates as a
+    response-descending list of ``(y, x, R)`` tuples, exactly as the
+    reference's Python-loop implementation produces them.
+    """
+    from vfx_image_stitching_tpu.config import HarrisConfig
+    from vfx_image_stitching_tpu.models.harris import harris_corners
+
+    cfg = HarrisConfig(
+        max_points=int(max_points), k=float(k), block_size=int(block_size),
+        gauss_sigma=float(gauss_sigma), thresh_ratio=float(thresh_ratio),
+    )
+    yy, xx, resp, valid, (ix, iy) = harris_corners(jnp.asarray(img_bgr), cfg)
+    yy, xx, resp, valid = map(np.asarray, (yy, xx, resp, valid))
+    cands = [
+        (int(y), int(x), float(r))
+        for y, x, r, v in zip(yy, xx, resp, valid) if v
+    ]
+    return cands, np.asarray(ix, np.float64), np.asarray(iy, np.float64)
+
+
+def gen_descriptor(
+    fpx: int, fpy: int, m: np.ndarray, theta: np.ndarray
+) -> np.ndarray:
+    """128-d descriptor for one keypoint at row ``fpx``, col ``fpy`` over
+    precomputed magnitude/angle fields (image_stitching_harris.py:72-133)."""
+    from vfx_image_stitching_tpu.models.harris import (
+        harris_descriptors_from_fields,
+    )
+
+    desc = harris_descriptors_from_fields(
+        jnp.asarray([int(fpx)], jnp.int32),
+        jnp.asarray([int(fpy)], jnp.int32),
+        jnp.asarray(m, jnp.float32),
+        jnp.asarray(theta, jnp.float32),
+    )
+    return np.asarray(desc[0], np.float32)
 
 
 def cylindrical_projection(img_bgr: np.ndarray, focal_len: float) -> np.ndarray:

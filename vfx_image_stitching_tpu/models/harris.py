@@ -102,9 +102,22 @@ def harris_descriptors(
     cfg: HarrisConfig = HarrisConfig(),
 ) -> jnp.ndarray:
     """(K, 128) descriptors for keypoints at rows ``yy``, cols ``xx``."""
+    m, theta = calc_orientation(ix, iy)
+    return harris_descriptors_from_fields(yy, xx, m, theta, cfg)
+
+
+def harris_descriptors_from_fields(
+    yy: jnp.ndarray,
+    xx: jnp.ndarray,
+    m: jnp.ndarray,
+    theta: jnp.ndarray,
+    cfg: HarrisConfig = HarrisConfig(),
+) -> jnp.ndarray:
+    """Descriptors from precomputed magnitude/angle fields — the split the
+    reference exposes as ``gen_descriptor(fpx, fpy, m, theta)``
+    (image_stitching_harris.py:72-133)."""
     bins = cfg.desc_bins
     size = cfg.patch_size
-    m, theta = calc_orientation(ix, iy)
     pad = size // 2
     patch_m = _descriptor_patches(m, yy, xx, pad, size)       # (K, 16, 16)
     patch_t = _descriptor_patches(theta, yy, xx, pad, size)   # (K, 16, 16)

@@ -42,6 +42,79 @@ def harris_match_pair(
     return kps_a, kps_b, pairs
 
 
+def convertCV2Qt(img_bgr: np.ndarray):
+    """BGR numpy array -> QPixmap (harris_visualizeUI.py:174-182).
+
+    Requires PyQt5; raises ImportError otherwise.
+    """
+    from PyQt5.QtGui import QImage, QPixmap
+
+    img_rgb = np.ascontiguousarray(np.asarray(img_bgr)[..., ::-1])
+    h, w, ch = img_rgb.shape
+    qimg = QImage(img_rgb.data, w, h, ch * w, QImage.Format_RGB888)
+    return QPixmap.fromImage(qimg.copy())
+
+
+def draw_harris_corners_on_image(
+    img_bgr: np.ndarray, keypoints
+) -> np.ndarray:
+    """Red filled dots at ``[(x, y), ...]`` on a copy of the image
+    (harris_visualizeUI.py:184-192).  Pure-NumPy disk rasterizer — the
+    reference uses cv2.circle(radius=4, filled)."""
+    out = np.array(img_bgr, copy=True)
+    h, w = out.shape[:2]
+    r = 4
+    yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
+    disk = (yy * yy + xx * xx) <= r * r
+    for (x, y) in keypoints:
+        x, y = int(x), int(y)
+        y0, y1 = max(y - r, 0), min(y + r + 1, h)
+        x0, x1 = max(x - r, 0), min(x + r + 1, w)
+        sub = disk[y0 - (y - r) : y1 - (y - r), x0 - (x - r) : x1 - (x - r)]
+        out[y0:y1, x0:x1][sub] = (0, 0, 255)
+    return out
+
+
+def _draw_disk(img: np.ndarray, x: int, y: int, r: int, color) -> None:
+    h, w = img.shape[:2]
+    yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
+    disk = (yy * yy + xx * xx) <= r * r
+    y0, y1 = max(y - r, 0), min(y + r + 1, h)
+    x0, x1 = max(x - r, 0), min(x + r + 1, w)
+    sub = disk[y0 - (y - r) : y1 - (y - r), x0 - (x - r) : x1 - (x - r)]
+    img[y0:y1, x0:x1][sub] = color
+
+
+def _draw_line(img: np.ndarray, p1, p2, color) -> None:
+    n = int(max(abs(p2[0] - p1[0]), abs(p2[1] - p1[1]))) + 1
+    xs = np.clip(np.rint(np.linspace(p1[0], p2[0], n)).astype(int),
+                 0, img.shape[1] - 1)
+    ys = np.clip(np.rint(np.linspace(p1[1], p2[1], n)).astype(int),
+                 0, img.shape[0] - 1)
+    img[ys, xs] = color
+
+
+def draw_matches_side_by_side(
+    imgA: np.ndarray, kpsA, imgB: np.ndarray, kpsB, matches
+) -> np.ndarray:
+    """Horizontal concat of A|B with green match lines, red/blue endpoint
+    dots (harris_visualizeUI.py:194-221).  ``matches`` is
+    ``[((xA, yA), (xB, yB)), ...]``; kpsA/kpsB are accepted for signature
+    parity (the reference ignores them too)."""
+    hA, wA = imgA.shape[:2]
+    hB, wB = imgB.shape[:2]
+    merged = np.zeros((max(hA, hB), wA + wB, 3), np.uint8)
+    merged[:hA, :wA] = imgA
+    merged[:hB, wA : wA + wB] = imgB
+    for (ptA, ptB) in matches:
+        p1 = (int(ptA[0]), int(ptA[1]))
+        p2 = (int(ptB[0] + wA), int(ptB[1]))
+        _draw_line(merged, p1, p2, (0, 255, 0))
+        _draw_disk(merged, p1[0], p1[1], 4, (0, 0, 255))
+        _draw_disk(merged, p2[0], p2[1], 4, (255, 0, 0))
+    return merged
+
+
 def render_harris_demo(
     path_a: str, path_b: str, out_path: str,
     desc_thresh: float = 1.0,

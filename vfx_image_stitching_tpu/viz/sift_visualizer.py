@@ -73,6 +73,79 @@ def draw_keypoints(ax, img: np.ndarray, records: Sequence[KeyPointRecord],
                      color="yellow", head_width=1.5, head_length=2)
 
 
+def cvimg_to_qpixmap(img: np.ndarray, max_width: Optional[int] = None,
+                     max_height: Optional[int] = None):
+    """cv2 image (gray or BGR) -> QPixmap, min-max normalized, optionally
+    scaled down aspect-preserving (sift_visualizeUI.py:21-45).
+
+    Requires PyQt5; raises ImportError otherwise (the headless renderer
+    never needs it).
+    """
+    from PyQt5.QtCore import Qt
+    from PyQt5.QtGui import QImage, QPixmap
+
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        lo, hi = float(img.min()), float(img.max())
+        scale = 255.0 / (hi - lo) if hi > lo else 0.0
+        img = ((img - lo) * scale).astype(np.uint8)
+    img = np.ascontiguousarray(img)
+    if img.ndim == 2:
+        h, w = img.shape
+        qimg = QImage(img.data, w, h, w, QImage.Format_Grayscale8)
+    else:
+        h, w = img.shape[:2]
+        rgb = np.ascontiguousarray(img[..., ::-1])
+        qimg = QImage(rgb.data, w, h, 3 * w, QImage.Format_RGB888)
+    pix = QPixmap.fromImage(qimg.copy())
+    if max_width or max_height:
+        pix = pix.scaled(
+            max_width or pix.width(), max_height or pix.height(),
+            Qt.KeepAspectRatio, Qt.SmoothTransformation,
+        )
+    return pix
+
+
+def draw_feature_points_return_disp(
+    img: np.ndarray, keypoints: Sequence, point_color: str = "red",
+    arrow_color: str = "yellow", scale: float = 0.5,
+) -> np.ndarray:
+    """Render keypoints (+orientation arrows when ``kp.angle != -1``) over
+    the image via matplotlib and return the figure as a BGR array
+    (sift_visualizeUI.py:47-86)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img_rgb = np.repeat(img[..., None], 3, axis=-1)
+    elif img.shape[2] == 3:
+        img_rgb = img[..., ::-1]
+    else:
+        img_rgb = img.copy()
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.imshow(img_rgb)
+    ax.set_axis_off()
+    for kp in keypoints:
+        x, y = kp.pt
+        ax.plot(x, y, "o", color=point_color, markersize=2)
+        if kp.angle != -1:
+            a = np.deg2rad(kp.angle)
+            ax.arrow(x, y, np.cos(a) * kp.size / scale,
+                     np.sin(a) * kp.size / scale,
+                     color=arrow_color, head_width=1.5, head_length=2)
+    ax.set_title("Feature Points with Orientation")
+    fig.canvas.draw()
+    w, h = fig.canvas.get_width_height()
+    buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+    buf = buf.reshape(h, w, 4)[..., :3]
+    plt.close(fig)
+    return np.ascontiguousarray(buf[..., ::-1])
+
+
 def flann_homography_match(
     query_path: str, train_path: str, min_match_count: int = 10,
     lowe_ratio: float = 0.7,
