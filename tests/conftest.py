@@ -68,6 +68,43 @@ requires_reference = pytest.mark.skipif(
 requires_cv2 = pytest.mark.skipif(not have_cv2(), reason="cv2 unavailable")
 
 
+def load_reference_module(name: str):
+    """Load /root/reference/<name>.py by PATH under a private module name.
+
+    ``sys.path.insert(0, REFERENCE_DIR); import sift_impl`` is unsound in
+    a full-suite process: the repo root ships same-named drop-in shims
+    (sift_impl.py, image_stitching_{harris,sift}.py), so whichever gets
+    imported first wins ``sys.modules`` and a later oracle fixture can
+    silently receive OUR implementation instead of the reference — the
+    parity test then compares us against ourselves.  Loading by explicit
+    file path under a ``_ref_``-prefixed name (and temporarily pointing
+    ``sys.modules['sift_impl']`` at the reference copy while executing a
+    reference script that imports it) guarantees oracle independence.
+    """
+    import importlib.util
+
+    key = "_ref_" + name
+    if key in sys.modules:
+        return sys.modules[key]
+    path = os.path.join(REFERENCE_DIR, name + ".py")
+    spec = importlib.util.spec_from_file_location(key, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[key] = mod
+    if name == "sift_impl":
+        spec.loader.exec_module(mod)
+        return mod
+    saved = sys.modules.get("sift_impl")
+    sys.modules["sift_impl"] = load_reference_module("sift_impl")
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        if saved is not None:
+            sys.modules["sift_impl"] = saved
+        else:
+            sys.modules.pop("sift_impl", None)
+    return mod
+
+
 def pytest_collection_modifyitems(config, items):
     """tpu-marked tests only run on a real chip (VFX_TEST_TPU=1)."""
     on_tpu = TPU_RUN and jax.default_backend() == "tpu"

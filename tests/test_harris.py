@@ -19,10 +19,9 @@ from tests.conftest import requires_reference, requires_cv2, REFERENCE_DIR
 def ref_mod():
     if not os.path.isdir(REFERENCE_DIR):
         pytest.skip("reference repo not mounted")
-    sys.path.insert(0, REFERENCE_DIR)
-    import image_stitching_harris as ref
+    from tests.conftest import load_reference_module
 
-    return ref
+    return load_reference_module("image_stitching_harris")
 
 
 @pytest.fixture(scope="module")

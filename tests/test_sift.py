@@ -21,10 +21,9 @@ from tests.conftest import requires_reference, requires_cv2, REFERENCE_DIR
 def ref_sift():
     if not os.path.isdir(REFERENCE_DIR):
         pytest.skip("reference repo not mounted")
-    sys.path.insert(0, REFERENCE_DIR)
-    import sift_impl
+    from tests.conftest import load_reference_module
 
-    return sift_impl
+    return load_reference_module("sift_impl")
 
 
 @pytest.fixture(scope="module")
@@ -394,3 +393,48 @@ def test_localize_resident_matches_plain(crop_gray):
                     a, b, err_msg=f"octave {o} {name}"
                 )
     assert checked_rows > 0
+
+
+def test_localize_resident_height_not_multiple_of_8():
+    """Resident kernel on an octave whose height is NOT a multiple of 8.
+
+    All four reference datasets produce octave heights that are 8-
+    multiples, so the ``ya = min(..., h-16)`` clamp in the kernel always
+    landed 8-aligned — advisor r4 flagged that a height like 20 clamps
+    to 4, violating the ``pl.multiple_of(ya, 8)`` promise (a potential
+    Mosaic miscompile).  The wrapper now pads H to the next 8-multiple;
+    this pins index-math parity at such a shape (h=21, hp=24) against
+    the plain path, including candidates whose Newton walk reaches the
+    bottom rows where the clamp bites.
+    """
+    from vfx_image_stitching_tpu.models.sift.extrema import (
+        extrema_threshold, extract_candidates,
+    )
+    from vfx_image_stitching_tpu.models.sift.localize import (
+        localize_candidates_chunked, localize_candidates_resident,
+    )
+
+    cfg = SiftConfig()
+    rng = np.random.default_rng(2)
+    # (5, 21, 131): h % 8 = 5, w % 128 = 3 — both pads exercised
+    dog = jnp.asarray(
+        rng.integers(-80, 80, (5, 21, 131)).astype(np.float32)
+    )
+    thresh = extrema_threshold(cfg.contrast_threshold, cfg.num_intervals)
+    layer, y, x, cv = extract_candidates(
+        dog, cfg.image_border_width, thresh, 256
+    )
+    assert int(np.asarray(cv).sum()) > 0, "need live candidates"
+    plain = localize_candidates_chunked(dog, layer, y, x, cv, 0, cfg)
+    res = localize_candidates_resident(dog, layer, y, x, cv, 0, cfg)
+    vp = np.asarray(plain.valid)
+    np.testing.assert_array_equal(vp, np.asarray(res.valid))
+    for name in plain._fields:
+        a = np.asarray(getattr(plain, name))[vp]
+        b = np.asarray(getattr(res, name))[vp]
+        if name == "response":
+            ulp = np.abs(a.view(np.int32).astype(np.int64)
+                         - b.view(np.int32).astype(np.int64))
+            assert ulp.max(initial=0) <= 4
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)

@@ -98,13 +98,9 @@ def test_stage_chain_matches_monolithic(chain):
 
 @pytest.fixture(scope="module")
 def ref_sift(reference_dir):
-    import sys
+    from tests.conftest import load_reference_module
 
-    if reference_dir not in sys.path:
-        sys.path.insert(0, reference_dir)
-    import sift_impl
-
-    return sift_impl
+    return load_reference_module("sift_impl")
 
 
 @pytest.fixture(scope="module")

@@ -58,13 +58,12 @@ def test_translation_ransac_material_flags_decisive_rows():
 def test_strict_keypoint_and_descriptor_bit_exact(reference_dir):
     """Strict host re-derivation == the reference pipeline, bit for bit."""
     import os
-    import sys
 
     import cv2
 
-    if reference_dir not in sys.path:
-        sys.path.insert(0, reference_dir)
-    import sift_impl
+    from tests.conftest import load_reference_module
+
+    sift_impl = load_reference_module("sift_impl")
 
     from vfx_image_stitching_tpu.models.sift.strict import (
         descriptor_strict,
