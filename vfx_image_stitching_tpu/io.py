@@ -366,12 +366,18 @@ def load_dataset_device_split(
         if on_group is not None:
             on_group(k, group_dev[k], lo, hi, focals)
 
-    # Few ORDERED workers instead of 8: decode completion then tracks
-    # submission order (2 at a time on however many cores), so the
-    # ramped first groups actually finish first and the device starts
-    # ~25 ms earlier.  Total decode wall is unchanged — JPEG decode is
-    # CPU-bound, so 8 time-sliced threads finish no sooner than 2.
-    n_workers = int(os.environ.get("VFX_DECODE_WORKERS", "2"))
+    # Few ORDERED workers when cores are scarce: decode completion then
+    # tracks submission order, so the ramped first groups actually finish
+    # first and the device starts ~25 ms earlier (A/B'd on the ~2-core
+    # harness box, docs/CHIP_AB_R4B.json).  cv2 decode releases the GIL,
+    # so on a genuinely multi-core host more workers parallelize real
+    # decode work — there min(8, cores) wins on total load wall while
+    # submission order still biases early groups first.
+    cores = os.cpu_count() or 1
+    default_workers = 2 if cores <= 2 else min(8, cores)
+    n_workers = max(
+        1, int(os.environ.get("VFX_DECODE_WORKERS", default_workers))
+    )
     with cf.ThreadPoolExecutor(max_workers=min(n_workers, n)) as pool:
         futs = {pool.submit(load_bgr, p): i for i, p in enumerate(resolved)}
         for fut in cf.as_completed(futs):

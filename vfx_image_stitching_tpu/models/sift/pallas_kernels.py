@@ -334,9 +334,10 @@ def _descriptor_kernel(
     # output
     out_ref,
     *, num_bins: int, window_width: int, h: int, w: int,
+    tile_r: int = DESC_TILE_R,
 ):
     i = pl.program_id(0)
-    base_r = r0_ref[i] * DESC_TILE_R
+    base_r = r0_ref[i] * tile_r
     base_c = c0_ref[i] * TILE_C
     py = py_ref[i]
     px = px_ref[i]
@@ -351,12 +352,12 @@ def _descriptor_kernel(
 
     tiles = ((m00, a00, 0, 0), (m01, a01, 0, 1),
              (m10, a10, 1, 0), (m11, a11, 1, 1))
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (DESC_TILE_R, TILE_C), 0)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (DESC_TILE_R, TILE_C), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_r, TILE_C), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_r, TILE_C), 1)
 
     per_tile = []
     for (m_t, a_t, tr, tc) in tiles:
-        rows = base_r + tr * DESC_TILE_R + row_iota
+        rows = base_r + tr * tile_r + row_iota
         cols = base_c + tc * TILE_C + col_iota
         ys = (rows - py).astype(jnp.float32)
         xs = (cols - px).astype(jnp.float32)
@@ -644,7 +645,7 @@ def _newton_resident_kernel(
     dog_ref,
     # outputs
     outf_ref, outi_ref,
-    *, h: int, w: int, wp: int, border: int, num_intervals: int,
+    *, h: int, w: int, hp: int, wp: int, border: int, num_intervals: int,
     max_iters: int, chunk: int,
 ):
     """Per-candidate scalar Newton over a VMEM-resident DoG stack.
@@ -660,9 +661,11 @@ def _newton_resident_kernel(
     loads at (8, 128)-aligned offsets, so each layer loads an aligned
     (16, slab) window, ``pltpu.roll`` rotates the wanted cell to the
     origin (dynamic shifts are fine), and the 27 scalars are static
-    extracts.  ``wp`` is the lane-padded width (the wrapper pads when
-    w % 128 != 0 — dynamic_rotate rejects unaligned lane shapes);
-    bounds tests use the LOGICAL ``w``.
+    extracts.  ``wp``/``hp`` are the padded width/height (the wrapper
+    pads when w % 128 != 0 — dynamic_rotate rejects unaligned lane
+    shapes — and when h % 8 != 0, so the ``pl.multiple_of(ya, 8)``
+    promise below holds even at the ``hp - 16`` clamp); bounds tests
+    use the LOGICAL ``h``/``w``.
     """
     step = pl.program_id(0)
     f0 = jnp.float32(0.0)
@@ -688,7 +691,7 @@ def _newton_resident_kernel(
 
                     xa = jnp.minimum(((x - 1) // 128) * 128, wp - slab)
                     xa = pl.multiple_of(xa, 128)
-                    ya = jnp.minimum(((y - 1) // 8) * 8, h - 16)
+                    ya = jnp.minimum(((y - 1) // 8) * 8, hp - 16)
                     ya = pl.multiple_of(ya, 8)
                     xoff = x - 1 - xa
                     yoff = y - 1 - ya
@@ -826,8 +829,9 @@ def localize_newton_resident(
     """
     nl, h, w = dog.shape
     wp = ((w + 127) // 128) * 128
-    if wp != w:
-        dog = jnp.pad(dog, [(0, 0), (0, 0), (0, wp - w)])
+    hp = ((h + 7) // 8) * 8
+    if wp != w or hp != h:
+        dog = jnp.pad(dog, [(0, 0), (0, hp - h), (0, wp - w)])
     k = layer.shape[0]
     n_chunks = k // chunk
     interpret = interpret or jax.default_backend() == "cpu"
@@ -845,7 +849,7 @@ def localize_newton_resident(
     )
     kernel = functools.partial(
         _newton_resident_kernel,
-        h=h, w=w, wp=wp, border=cfg_border,
+        h=h, w=w, hp=hp, wp=wp, border=cfg_border,
         num_intervals=cfg_num_intervals,
         max_iters=cfg_max_iters, chunk=chunk,
     )
@@ -857,7 +861,7 @@ def localize_newton_resident(
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=4 * nl * h * wp + 16 * 1024 * 1024,
+            vmem_limit_bytes=4 * nl * hp * wp + 16 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

@@ -21,8 +21,17 @@ overrides a cache dir the user already configured.
 from __future__ import annotations
 
 import os
+import tempfile
 
-_DEFAULT_DIR = "/tmp/jax_cache_vfx"
+
+def _default_dir() -> str:
+    """Per-user cache dir (advisor r4: a fixed world-shared /tmp path can
+    be pre-created and poisoned by another user on a shared machine)."""
+    try:
+        uid = os.getuid()
+    except AttributeError:  # pragma: no cover - non-POSIX
+        uid = "u"
+    return os.path.join(tempfile.gettempdir(), f"jax_cache_vfx_{uid}")
 
 
 def ensure_compilation_cache(default_dir: str | None = None) -> None:
@@ -42,8 +51,9 @@ def ensure_compilation_cache(default_dir: str | None = None) -> None:
         if _jcfg.compilation_cache_dir.value:
             return
         path = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR", default_dir or _DEFAULT_DIR
+            "JAX_COMPILATION_CACHE_DIR", default_dir or _default_dir()
         )
+        os.makedirs(path, mode=0o700, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # remote compiles report seconds-to-minutes; tiny host-side ones
         # are cheap to keep too (entries are tens of KB)
