@@ -28,7 +28,10 @@ from vfx_image_stitching_tpu.pipeline.stitch import stitch_panorama
 
 DATA = os.environ.get("VFX_REFERENCE_DIR", "/root/reference")
 DATASETS = ["wind", "out", "parrington", "grail"]
-OUT = os.path.join(REPO, "docs", "RESIDENT_E2E_r04.json")
+OUT = os.environ.get(
+    "VFX_RESIDENT_E2E_OUT",
+    os.path.join(REPO, "docs", "RESIDENT_E2E_r05.json"),
+)
 
 
 def run_all(resident: bool):

@@ -10,6 +10,7 @@ parameterized and hashable (usable as jit static args).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 
@@ -105,6 +106,111 @@ class SiftCapacities:
     def _table(table: Tuple[int, ...], octave: int) -> int:
         return table[min(octave, len(table) - 1)]
 
+    # Largest image area (px) the default tables were audited against:
+    # the audit ran over every image of all four reference datasets
+    # (SURVEY.md section 2.4), whose largest images are wind's 708x434.
+    # Capacity counts scale ~linearly with image area at photo-like
+    # content, so inputs beyond this area scale the tables up; at or
+    # below it the audited headroom already covers the count.
+    AUDITED_AREA: int = 708 * 434
+
+    def scaled_for_area(self, h: int, w: int) -> "SiftCapacities":
+        """Capacity tables scaled for an (h, w) input image.
+
+        The defaults were audited on 384x512 inputs; a larger image has
+        proportionally more extrema/keypoints (the reference's dynamic
+        lists just grow — sift_impl.py:117-140 appends per pixel), so
+        every count capacity scales by the area ratio, rounded up to a
+        multiple of 64 to keep lane-friendly shapes.  At or below the
+        audited area this is the identity — the benchmark and all
+        reference-dataset executables keep their exact shapes.  Window
+        caps (max_radius / max_half_width / desc_small_half) are
+        per-octave scale properties, not area properties: a larger image
+        adds an octave rather than widening windows, so they stay.
+        """
+        factor = (h * w) / float(self.AUDITED_AREA)
+        if factor <= 1.0:
+            return self
+
+        def up64(v: int) -> int:
+            return ((int(math.ceil(v * factor)) + 63) // 64) * 64
+
+        def table(t: Tuple[int, ...]) -> Tuple[int, ...]:
+            return tuple(up64(v) for v in t)
+
+        return dataclasses.replace(
+            self,
+            candidate_caps=table(self.candidate_caps),
+            localized_caps=table(self.localized_caps),
+            oriented_caps=table(self.oriented_caps),
+            max_keypoints=up64(self.max_keypoints),
+            desc_small_caps=table(self.desc_small_caps),
+            desc_big_caps=table(self.desc_big_caps),
+        )
+
+    def grown_to_fit(self, stats, headroom: float = 1.5) -> "SiftCapacities":
+        """Capacities grown to fit measured per-stage occupancy ``stats``.
+
+        ``stats`` is a (host) dict as produced by
+        models/sift/extract.sift_keypoints_and_descriptors — per-octave
+        ``*_counts``/``*_caps`` arrays plus ``final_count``/``final_cap``
+        (leaves may carry an N-image leading axis; the max is taken).
+        Area scaling (:meth:`scaled_for_area`) covers photo-statistics
+        inputs; this covers CONTENT denser than the audited photo sets
+        (e.g. synthetic scenes) where a count hits its capacity: every
+        stage at capacity grows to ``max(count * headroom, 2 * cap)``
+        rounded up to a lane-friendly multiple of 64.  Counts may
+        themselves be clipped at capacity post-compaction, so the
+        ``2 * cap`` floor guarantees geometric progress when the caller
+        re-runs and re-checks.  Returns ``self`` (identity, same object)
+        when nothing is at capacity — the overflow test the pipeline's
+        recovery loop keys on.
+        """
+        import numpy as np
+
+        def up64(v: float) -> int:
+            return ((int(math.ceil(v)) + 63) // 64) * 64
+
+        def maxed(key):
+            arr = np.asarray(stats[key])
+            if arr.ndim <= 1:
+                return arr.reshape(-1)
+            return arr.reshape(-1, arr.shape[-1]).max(axis=0)
+
+        def grow(table: Tuple[int, ...], count_key: str, cap_key: str):
+            counts, caps = maxed(count_key), maxed(cap_key)
+            n = max(len(counts), len(table))
+            out = [self._table(table, o) for o in range(n)]
+            hit = False
+            for o in range(len(counts)):
+                c, cap = int(counts[o]), int(caps[o])
+                if cap > 1 and c >= cap:
+                    out[o] = max(out[o], up64(max(c * headroom, cap * 2.0)))
+                    hit = True
+            return (tuple(out), hit)
+
+        cand, h1 = grow(self.candidate_caps, "cand_counts", "cand_caps")
+        loc, h2 = grow(self.localized_caps, "loc_counts", "loc_caps")
+        ori, h3 = grow(self.oriented_caps, "oriented_counts", "oriented_caps")
+        big, h4 = grow(self.desc_big_caps, "desc_big_counts", "desc_big_caps")
+        fin_count = int(np.max(np.asarray(stats["final_count"])))
+        fin_cap = int(np.max(np.asarray(stats["final_cap"])))
+        max_kp = self.max_keypoints
+        h5 = fin_count >= fin_cap
+        if h5:
+            max_kp = max(max_kp,
+                         up64(max(fin_count * headroom, fin_cap * 2.0)))
+        if not (h1 or h2 or h3 or h4 or h5):
+            return self
+        return dataclasses.replace(
+            self,
+            candidate_caps=cand,
+            localized_caps=loc,
+            oriented_caps=ori,
+            desc_big_caps=big,
+            max_keypoints=max_kp,
+        )
+
     def scaled_candidates(self, octave: int) -> int:
         """Candidate capacity for a given octave (shrinks with area)."""
         return self._table(self.candidate_caps, octave)
@@ -157,9 +263,16 @@ class SiftConfig:
     # instead of 22 through the iteration (results re-derived once at
     # the last-compute cell) and stops a chunk as soon as its last real
     # row converges/rejects instead of always running 5 iterations.
-    # Valid-row outputs bit-identical to the plain path (pinned by
-    # tests/test_sift.py); takes precedence over localize_split.
-    # VFX_LOCALIZE_SLIM=0/1 overrides at the pipeline entry.
+    # Contract (pinned by tests/test_sift.py): valid rows bit-identical
+    # EXCEPT ``response`` within 4 ulp — its final dot product is
+    # re-contracted in a different executable (measured 1 ulp on 2/57
+    # oracle rows).  ``response`` feeds the dedup sort key and match
+    # tie-breaks, so a knife-edge ulp could in principle reorder a
+    # duplicate pair on inputs beyond the verified datasets — the flag
+    # stays experimental/off (it was a measured perf regression anyway,
+    # docs/PROBE_LOCALIZE_SLIM_r04.json).  Takes precedence over
+    # localize_split.  VFX_LOCALIZE_SLIM=0/1 overrides at the pipeline
+    # entry.
     localize_slim: bool = False
     # VMEM-resident scalar-Newton localize (pallas_kernels.
     # localize_newton_resident): the whole DoG octave stack lives in
@@ -171,9 +284,12 @@ class SiftConfig:
     # scalar-core float solve wobbles <=1 ulp, which flipped a grail
     # knife edge end-to-end (docs/RESIDENT_E2E_r04.json first attempt)
     # — and all float lanes are re-derived in XLA at the last-compute
-    # cell.  Valid-row bit-identity pinned by tests/test_sift.py;
-    # end-to-end byte parity on all four datasets by
-    # scripts/verify_resident_e2e.py.  Takes precedence over
+    # cell.  Contract (pinned by tests/test_sift.py): valid rows
+    # bit-identical EXCEPT ``response`` within 4 ulp (same
+    # cross-executable dot-product re-contraction as localize_slim;
+    # ``response`` only feeds dedup sort keys / tie-breaks, and
+    # end-to-end byte parity on all four datasets is verified on chip
+    # by scripts/verify_resident_e2e.py).  Takes precedence over
     # localize_slim/localize_split.  Octaves with h < 16 fall back to
     # the plain path (no candidates there anyway).
     # VFX_LOCALIZE_RESIDENT=0/1 overrides at the pipeline entry.

@@ -73,6 +73,35 @@ def resolve_image_path(path: str, folder: str) -> str:
     return os.path.join(folder, base)
 
 
+def peek_image_size(folder: str, pano_file: Optional[str] = None
+                    ) -> Optional[Tuple[int, int]]:
+    """(height, width) of the dataset's first readable image, from the
+    image header only (no pixel decode) — used to pick size-dependent
+    capacities before the loader dispatches any device work.
+
+    Returns None when no image is readable (the pipeline then keeps its
+    configured capacities and degrades exactly as the reference does).
+    """
+    pf = pano_file or os.path.join(folder, "pano.txt")
+    try:
+        paths, _ = read_pano_data(pf)
+    except OSError:
+        return None
+    for p in paths:
+        fp = resolve_image_path(p, folder)
+        try:
+            from PIL import Image
+
+            with Image.open(fp) as im:
+                w, h = im.size  # header read only
+            return int(h), int(w)
+        except Exception:
+            img = load_bgr(fp)
+            if img is not None:
+                return int(img.shape[0]), int(img.shape[1])
+    return None
+
+
 def load_bgr(path: str) -> Optional[np.ndarray]:
     """Load an image as BGR uint8 (cv2.imread parity); None if unreadable."""
     if _HAVE_CV2:

@@ -438,7 +438,7 @@ def _descriptor_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("half_cap", "num_bins", "window_width", "img_h", "img_w",
-                     "interpret"),
+                     "interpret", "tile_r"),
 )
 def descriptor_histograms(
     mag_stack: jnp.ndarray,
@@ -458,6 +458,7 @@ def descriptor_histograms(
     num_bins: int = 8,
     window_width: int = 4,
     interpret: bool = False,
+    tile_r: int = DESC_TILE_R,
 ) -> jnp.ndarray:
     """(K, 128) trilinear descriptor histograms (sift_impl.py:459-509).
 
@@ -465,8 +466,14 @@ def descriptor_histograms(
     the full trilinear two-hot accumulation fused on-chip — no (K, S^2,
     36) HBM intermediate at all.  Returns the tensor already cropped to
     the inner ww x ww cells; the caller post-processes.
+
+    ``tile_r`` sizes the row tile (two tiles must cover the window:
+    2*half_cap+1 <= tile_r+1); the 56-row tile serves the small bucket's
+    57-wide windows with 36% of the default tile's samples
+    (scripts/probe_desc_small_pallas_r5.py A/Bs it vs the GEMM path).
     """
-    assert 2 * half_cap + 1 <= DESC_TILE_R + 1, half_cap
+    assert 2 * half_cap + 1 <= tile_r + 1, (half_cap, tile_r)
+    assert tile_r % 8 == 0, tile_r
     out_dim = window_width * window_width * num_bins
     assert out_dim == OUT_LANES, out_dim
     k = layer.shape[0]
@@ -482,7 +489,7 @@ def descriptor_histograms(
     interpret = interpret or jax.default_backend() == "cpu"
 
     hs, ws = mag_stack.shape[-2:]
-    ph = (-hs) % DESC_TILE_R + DESC_TILE_R
+    ph = (-hs) % tile_r + tile_r
     pw = (-ws) % TILE_C + TILE_C
     if ph or pw:
         cfgp = [(0, 0), (0, ph), (0, pw)]
@@ -491,12 +498,12 @@ def descriptor_histograms(
 
     sy = jnp.clip(py - half_cap, 0, hs - 1)
     sx = jnp.clip(px - half_cap, 0, ws - 1)
-    r0 = sy // DESC_TILE_R
+    r0 = sy // tile_r
     c0 = sx // TILE_C
 
     def tile_spec(tr, tc):
         return pl.BlockSpec(
-            (1, DESC_TILE_R, TILE_C),
+            (1, tile_r, TILE_C),
             lambda i, r0_ref, c0_ref, layer_ref, *_: (
                 layer_ref[i], r0_ref[i] + tr, c0_ref[i] + tc
             ),
@@ -515,7 +522,7 @@ def descriptor_histograms(
     )
     kernel = functools.partial(
         _descriptor_kernel, num_bins=num_bins, window_width=window_width,
-        h=img_h, w=img_w,
+        h=img_h, w=img_w, tile_r=tile_r,
     )
     out = pl.pallas_call(
         kernel,

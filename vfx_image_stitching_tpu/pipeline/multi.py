@@ -37,11 +37,34 @@ from typing import Dict, Optional, Sequence
 from vfx_image_stitching_tpu.config import DEFAULT_CROP_MARGINS, StitchConfig
 from vfx_image_stitching_tpu.pipeline.stitch import (
     StitchResult,
+    _autoscale_sift_caps,
     _resolve_cfg,
     dispatch_pair_step,
     dispatch_result_bundle,
     extract_features,
 )
+
+
+def _autoscale_many(cfg: StitchConfig, folders) -> StitchConfig:
+    """Area-scale default SIFT capacities by the LARGEST dataset image.
+
+    One shared config keeps same-shape executables shared across
+    datasets; capacities are upper bounds, so the max-area choice is
+    pure headroom for the smaller datasets.  Identity at
+    reference-dataset sizes (config.SiftCapacities.scaled_for_area).
+    """
+    if cfg.backend != "sift":
+        return cfg
+    from vfx_image_stitching_tpu.io import peek_image_size
+
+    best = None
+    for f in folders:
+        hw = peek_image_size(f)
+        if hw and (best is None or hw[0] * hw[1] > best[0] * best[1]):
+            best = hw
+    if best is None:
+        return cfg
+    return _autoscale_sift_caps(cfg, None, hw=best)[0]
 
 
 def stitch_many(
@@ -74,6 +97,7 @@ def stitch_many(
     from vfx_image_stitching_tpu.pipeline.stitch import finalize_to_panorama
 
     cfg = _resolve_cfg(backend, cfg)
+    cfg = _autoscale_many(cfg, folders)
     margins = margins or {}
     t0 = time.time()
 
@@ -170,6 +194,10 @@ def stitch_many(
                 corrected_shifts=fin.corrected,
                 pairs=fin.pairs,
                 timings=timings,
+                # surfaced, not auto-recovered: the multi-run shares one
+                # executable set across datasets; callers re-run the
+                # flagged dataset via stitch_panorama (which recovers)
+                capacity_stats=timings.pop("capacity_overflow", None),
             )
             if verbose:
                 print(f"{name}: {fin.panorama.shape} in {td1 - td0:.2f} s "
@@ -211,6 +239,7 @@ def _stitch_many_sharded(
     from vfx_image_stitching_tpu.pipeline.stitch import finalize_to_panorama
 
     cfg = _resolve_cfg(backend, cfg)
+    cfg = _autoscale_many(cfg, folders)
     margins = margins or {}
     names = [os.path.basename(os.path.normpath(f)) for f in folders]
 
@@ -289,6 +318,7 @@ def _stitch_many_sharded(
             pairs=fin.pairs,
             timings={"finalize_compose": time.time() - td0,
                      "total": time.time() - t0},
+            capacity_stats=fin.detail.pop("capacity_overflow", None),
         )
         if verbose:
             print(f"{name}: {fin.panorama.shape}")

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vfx_image_stitching_tpu.config import StitchConfig
+from vfx_image_stitching_tpu.config import SiftCapacities, StitchConfig
 from vfx_image_stitching_tpu.compose import (
     compose_mosaic,
     plan_compose,
@@ -239,6 +239,11 @@ class StitchResult:
     pairs: List[Optional[Tuple[Tuple[float, float], Tuple[float, float]]]]
     timings: dict
     steps: Optional[List[np.ndarray]] = None
+    # host capacity stats, present ONLY when a SIFT stage count hit its
+    # capacity during this run (keypoints may have been truncated); the
+    # stitch_panorama recovery loop re-runs with grown capacities and
+    # returns a result whose capacity_stats is None
+    capacity_stats: Optional[dict] = None
 
 
 @functools.partial(
@@ -351,6 +356,15 @@ def _resolve_cfg(backend: str, cfg: Optional[StitchConfig]) -> StitchConfig:
             )
         )
     res_env = os.environ.get("VFX_LOCALIZE_RESIDENT")
+    if res_env is None and not cfg.sift.localize_resident:
+        # Default ON for real-chip runs: the interleaved on-chip A/B
+        # (docs/CHIP_AB_R5A.json, 12 rounds) has resident localize at
+        # 0.451 s median vs 0.487 s plain on the headline stitch with
+        # shifts_ok every round, and end-to-end byte parity on all four
+        # datasets is certified by docs/RESIDENT_E2E_r05.json.  CPU
+        # (tests) keeps the plain path — the kernel would only run in
+        # slow interpret mode there.
+        res_env = "1" if jax.default_backend() == "tpu" else None
     if res_env is not None and (
             (res_env == "1") != cfg.sift.localize_resident):
         cfg = dataclasses.replace(
@@ -378,6 +392,48 @@ def _resolve_cfg(backend: str, cfg: Optional[StitchConfig]) -> StitchConfig:
                 ),
             )
     return cfg
+
+
+def _autoscale_sift_caps(cfg: StitchConfig, folder, pano_file=None,
+                         hw=None) -> Tuple[StitchConfig, bool]:
+    """Swap in area-scaled SIFT capacities for larger-than-audited inputs.
+
+    The default capacity tables were audited on the reference datasets
+    (largest image 708x434); a user pointing the pipeline at bigger
+    photos would otherwise overflow them (overflow warns, but drops
+    keypoints).  Only the DEFAULT tables are ever touched — explicitly
+    configured capacities are the user's contract.  At reference-dataset
+    sizes this is the identity, so every audited executable keeps its
+    exact shapes.  Size comes from the first image's header
+    (io.peek_image_size), not a pixel decode.
+
+    Returns ``(cfg, managed)``: ``managed`` is True when the capacities
+    are framework-owned (the defaults, possibly area-scaled here) — the
+    gate for the driver's overflow-recovery loop, which must never
+    override a user's explicitly configured capacity contract.
+    """
+    if cfg.backend != "sift":
+        return cfg, False
+    caps = cfg.sift.capacities
+    default = SiftCapacities()
+    # env toggles (_resolve_cfg) ride on the capacities dataclass;
+    # normalize them before deciding whether the user customized caps
+    if dataclasses.replace(
+        caps, desc_pallas_gather=default.desc_pallas_gather
+    ) != default:
+        return cfg, False
+    if hw is None:
+        from vfx_image_stitching_tpu.io import peek_image_size
+
+        hw = peek_image_size(folder, pano_file)
+    if hw is None:
+        return cfg, True
+    scaled = caps.scaled_for_area(*hw)
+    if scaled == caps:
+        return cfg, True
+    return dataclasses.replace(
+        cfg, sift=dataclasses.replace(cfg.sift, capacities=scaled)
+    ), True
 
 
 def extract_features(cyl: jnp.ndarray, cfg: StitchConfig):
@@ -682,8 +738,15 @@ def finalize_pairwise_shifts(
                 stats[key].shape
             )
             off += size
-        for msg in capacity_overflow_report(host_stats):
+        overflow_msgs = capacity_overflow_report(host_stats)
+        for msg in overflow_msgs:
             warnings.warn(f"SIFT capacity: {msg}", RuntimeWarning, stacklevel=2)
+        if overflow_msgs and timings_out is not None:
+            # ride the stats up to the driver so its recovery loop can
+            # re-run with capacities grown to fit (grown_to_fit) instead
+            # of silently truncating keypoints on denser-than-audited
+            # content
+            timings_out["capacity_overflow"] = host_stats
 
     # knife-edge precision escalation (models/sift/strict.py): pairs where
     # a borderline decision is MATERIAL (flipping it would change the
@@ -1261,9 +1324,44 @@ def stitch_panorama(
     from vfx_image_stitching_tpu.utils.profiling import profile_trace
 
     with profile_trace(cfg.profile_dir):
-        return _stitch_inner(
-            folder, pano_file, margin, cfg, save_path, return_steps, verbose
+        # larger-than-audited inputs get area-scaled capacities (must
+        # happen before the loader callback dispatches any extraction)
+        run_cfg, managed = _autoscale_sift_caps(cfg, folder, pano_file)
+        res = _stitch_inner(
+            folder, pano_file, margin, run_cfg, save_path, return_steps,
+            verbose,
         )
+        # Overflow recovery: area scaling models photo statistics, but
+        # CONTENT denser than the audited photo sets can still hit a
+        # stage capacity (counts ride the result bundle).  Rather than
+        # silently truncating keypoints, re-run with capacities grown to
+        # fit the measured counts — framework-owned capacities only; a
+        # user's explicit capacity config is their contract (the warning
+        # from finalize_pairwise_shifts still fires).  Never triggers on
+        # the audited reference datasets (>=1.35x headroom there).
+        for _ in range(3):
+            if not managed or res.capacity_stats is None:
+                break
+            grown = run_cfg.sift.capacities.grown_to_fit(res.capacity_stats)
+            if grown is run_cfg.sift.capacities:
+                break
+            import warnings
+
+            warnings.warn(
+                "SIFT capacity overflow: re-running with capacities grown "
+                "to fit the measured counts (set StitchConfig.sift."
+                "capacities explicitly to pin shapes)",
+                RuntimeWarning, stacklevel=2,
+            )
+            run_cfg = dataclasses.replace(
+                run_cfg, sift=dataclasses.replace(run_cfg.sift,
+                                                  capacities=grown)
+            )
+            res = _stitch_inner(
+                folder, pano_file, margin, run_cfg, save_path,
+                return_steps, verbose,
+            )
+        return res
 
 
 def _stitch_inner(
@@ -1427,4 +1525,5 @@ def _stitch_inner(
         pairs=fin.pairs,
         timings=timings,
         steps=fin.steps,
+        capacity_stats=timings.pop("capacity_overflow", None),
     )

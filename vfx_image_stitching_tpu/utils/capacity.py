@@ -19,45 +19,58 @@ from vfx_image_stitching_tpu.config import SiftConfig
 
 
 def audit_sift_capacities(
-    images: List[np.ndarray], cfg: SiftConfig = SiftConfig()
+    images: List[np.ndarray], cfg: SiftConfig = SiftConfig(),
+    autogrow: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Max per-stage occupancy across ``images``; asserts no truncation.
 
     Returns {"cand_counts", "cand_caps", "oriented_counts",
     "oriented_caps", "final_counts", "final_cap"} with counts maxed over
-    the dataset.
+    the dataset (plus the resolved ``SiftCapacities`` under "caps").
+
+    With ``autogrow`` the audit resolves an overflow the way the
+    pipeline's recovery loop does (SiftCapacities.grown_to_fit) — grow
+    the stage at capacity and re-run — instead of raising; the returned
+    "caps" then carry the converged tables for this content.
     """
+    import dataclasses
+
     from vfx_image_stitching_tpu.models.sift.extract import (
         sift_keypoints_and_descriptors,
     )
 
     fn = jax.jit(sift_keypoints_and_descriptors, static_argnames=("cfg",))
-    agg: Dict[str, np.ndarray] = {}
-    finals = []
-    for img in images:
-        _, _, stats = fn(jnp.asarray(img), cfg)
-        stats = {k: np.asarray(v) for k, v in jax.device_get(stats).items()}
-        finals.append(int(stats["final_count"]))
-        for key in ("cand_counts", "loc_counts", "oriented_counts",
-                    "desc_big_counts"):
-            agg[key] = np.maximum(agg[key], stats[key]) if key in agg else stats[key]
-        agg["cand_caps"] = stats["cand_caps"]
-        agg["loc_caps"] = stats["loc_caps"]
-        agg["oriented_caps"] = stats["oriented_caps"]
-        agg["desc_big_caps"] = stats["desc_big_caps"]
-    agg["final_counts"] = np.asarray(finals)
-    agg["final_cap"] = np.asarray(int(cfg.capacities.max_keypoints))
+    for _attempt in range(4 if autogrow else 1):
+        agg: Dict[str, np.ndarray] = {}
+        finals = []
+        for img in images:
+            _, _, stats = fn(jnp.asarray(img), cfg)
+            stats = {k: np.asarray(v)
+                     for k, v in jax.device_get(stats).items()}
+            finals.append(int(stats["final_count"]))
+            for key in ("cand_counts", "loc_counts", "oriented_counts",
+                        "desc_big_counts"):
+                agg[key] = (np.maximum(agg[key], stats[key])
+                            if key in agg else stats[key])
+            agg["cand_caps"] = stats["cand_caps"]
+            agg["loc_caps"] = stats["loc_caps"]
+            agg["oriented_caps"] = stats["oriented_caps"]
+            agg["desc_big_caps"] = stats["desc_big_caps"]
+        agg["final_counts"] = np.asarray(finals)
+        agg["final_cap"] = np.asarray(int(cfg.capacities.max_keypoints))
 
-    overflow = (
-        (agg["cand_counts"] >= agg["cand_caps"]).any()
-        or (agg["loc_counts"] >= agg["loc_caps"]).any()
-        or (agg["oriented_counts"] >= agg["oriented_caps"]).any()
-        or (agg["desc_big_counts"] >= agg["desc_big_caps"]).any()
-        or (agg["final_counts"] >= agg["final_cap"]).any()
+        grow_stats = dict(agg)
+        grow_stats["final_count"] = agg["final_counts"]
+        grown = cfg.capacities.grown_to_fit(grow_stats)
+        if grown is cfg.capacities:
+            agg["caps"] = cfg.capacities
+            return agg
+        if not autogrow:
+            raise RuntimeError(f"SIFT capacity overflow: {agg}")
+        cfg = dataclasses.replace(cfg, capacities=grown)
+    raise RuntimeError(
+        f"SIFT capacity autogrow did not converge in 4 rounds: {agg}"
     )
-    if overflow:
-        raise RuntimeError(f"SIFT capacity overflow: {agg}")
-    return agg
 
 
 def capacity_overflow_report(stats: Dict[str, np.ndarray]) -> List[str]:
