@@ -276,9 +276,13 @@ def compute_descriptors_chunked(
     A tiled Pallas variant exists (``compute_descriptors_pallas``) but
     measured *slower* on v5e: per-keypoint 2x2 tile fetches (360 KB per
     keypoint for the 89-wide windows) outweigh the saved one-hot HBM
-    traffic, while the GEMM reduction rides the MXU.  ``use_pallas``
-    therefore gates only the orientation kernel, whose 41-wide windows
-    make the same tile scheme profitable.
+    traffic, while the GEMM reduction rides the MXU.  The SMALL bucket
+    (57-wide windows, tile_r=56: 36% of the default tile's samples) was
+    A/B'd separately on real parrington octave-0 inputs and lost 3.9x
+    (21.5 vs 5.6 us/keypoint, docs/PROBE_DESC_SMALL_PALLAS_r05.json) —
+    the per-grid-step overhead, not tile size, dominates at descriptor
+    shapes.  ``use_pallas`` therefore gates only the orientation
+    kernel, whose 41-wide windows make the tile scheme profitable.
     """
     k = kps.capacity
     chunk = min(cfg.capacities.desc_chunk, k)
